@@ -1,0 +1,335 @@
+"""Partition-local NumPy k-d tree: median-split build + bounded batch kNN.
+
+This is the vectorized re-expression of the reference's core algorithms
+(jeffi/kdtree — see /root/reference):
+
+* **Median-split build** — the reference picks the widest-extent axis via a
+  per-range min/max sweep (``MedianAccum::init/accum/maxAxis``,
+  ``src/_l2space.hpp:173-204``), splits the range at the median with
+  ``nth_element`` (``src/_l2space.hpp:206-219``) and recurses, storing the
+  tree implicitly in array order (``src/_kdtree_median.hpp:269``).
+  We do the same with ``np.ptp(...).argmax()`` and ``np.argpartition``
+  over an index permutation, recursing until ranges reach ``leaf_size``;
+  the tree is implicit in the permuted array + leaf offset table.
+
+* **Bounded best-first kNN** — the reference maintains a shrinking kth
+  distance ``dist_`` seeded by ``maxRadius`` (``src/_kdtree_median.hpp:
+  131-137``), admits candidates with ``d <= dist_`` (``:159-163``) and
+  prunes subtrees via ``distToRegion() <= dist_`` (``shouldTraverse``,
+  ``:136-138``; incremental region distance ``src/_l2space.hpp:134-168``).
+  Per-row Python traversal is forbidden (input_hint), so we run the SAME
+  bound logic *batched over all queries at once*:
+
+    1. compute min/max distance from every query to every leaf bbox
+       (vectorized Q x L matrices — L = n/leaf_size is small);
+    2. phase 1: walk leaves in ascending min-dist order until their
+       cumulative point count reaches k and scan exactly those leaves
+       (vectorized pair expansion); the kth-smallest distance found is a
+       TRUE upper bound on the kth-NN distance — the batched analogue of
+       the reference's shrinking ``dist_`` after the first descent;
+    3. phase 2 prune: every remaining (query, leaf) pair is scanned only
+       if ``min_dist(q, leaf bbox) <= bound(q)`` — distToRegion pruning;
+    4. scan surviving pairs in ONE vectorized gather (``np.repeat`` pair
+       expansion — no Python loop at all), keep candidates with
+       ``d <= bound``, then exact top-k per query by ``(dist, tie_key)``
+       with a single lexsort.
+
+  The result is exact (verified against brute force in tests): the bound
+  from step 2 over-estimates the true kth distance, so no true neighbor is
+  ever pruned; step 4's final sort recovers the exact k.
+
+All arrays are float64/int64; no Python loops over rows or queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class KDTree:
+    """Implicit-array k-d tree over one partition (cell) of points."""
+
+    points: np.ndarray  # (n, d) float64, leaf-contiguous order
+    perm: np.ndarray  # (n,) int64: points[i] == original[perm[i]]
+    leaf_start: np.ndarray  # (L+1,) int64 offsets into points
+    leaf_lo: np.ndarray  # (L, d) per-leaf bbox lows (tight, from points)
+    leaf_hi: np.ndarray  # (L, d) per-leaf bbox highs
+    node_axis: np.ndarray  # (M,) int8 split axes, preorder (metadata/lineage)
+    node_split: np.ndarray  # (M,) float64 split values, preorder
+    depth: int  # max recursion depth (lineage metric)
+
+    @property
+    def n(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n_leaves(self) -> int:
+        return len(self.leaf_start) - 1
+
+
+def build(points: np.ndarray, leaf_size: int | None = None) -> KDTree:
+    """Median-split build (reference C1-C3). O(n log n), vectorized per range.
+
+    leaf_size=None picks max(32, min(128, n/256)): measured sweet spot
+    balancing (Q x L) matrix size against per-leaf scan width."""
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n, d = pts.shape
+    if leaf_size is None:
+        leaf_size = max(32, min(128, n // 256))
+    if n == 0:
+        return KDTree(
+            points=pts,
+            perm=np.empty(0, dtype=np.int64),
+            leaf_start=np.zeros(1, dtype=np.int64),
+            leaf_lo=np.empty((0, d), dtype=np.float64),
+            leaf_hi=np.empty((0, d), dtype=np.float64),
+            node_axis=np.empty(0, dtype=np.int8),
+            node_split=np.empty(0, dtype=np.float64),
+            depth=0,
+        )
+    perm = np.arange(n, dtype=np.int64)
+    leaf_bounds: list[tuple[int, int]] = []
+    node_axis: list[int] = []
+    node_split: list[float] = []
+    max_depth = 0
+    # explicit stack instead of recursion; each entry is a contiguous range
+    stack: list[tuple[int, int, int]] = [(0, n, 0)]
+    while stack:
+        start, end, dep = stack.pop()
+        max_depth = max(max_depth, dep)
+        m = end - start
+        if m <= leaf_size:
+            leaf_bounds.append((start, end))
+            continue
+        sub = perm[start:end]
+        vals = pts[sub]
+        # widest-extent axis (MedianAccum::maxAxis, src/_l2space.hpp:202-204)
+        axis = int(np.ptp(vals, axis=0).argmax())
+        mid = m // 2
+        # nth_element analogue (src/_l2space.hpp:206-219)
+        order = np.argpartition(vals[:, axis], mid)
+        perm[start:end] = sub[order]
+        split_val = float(pts[perm[start + mid], axis])
+        node_axis.append(axis)
+        node_split.append(split_val)
+        stack.append((start, start + mid, dep + 1))
+        stack.append((start + mid, end, dep + 1))
+
+    leaf_bounds.sort()
+    starts = np.array([b[0] for b in leaf_bounds] + [n], dtype=np.int64)
+    pts_sorted = pts[perm]
+    L = len(leaf_bounds)
+    leaf_lo = np.empty((L, d), dtype=np.float64)
+    leaf_hi = np.empty((L, d), dtype=np.float64)
+    for i, (s, e) in enumerate(leaf_bounds):  # loop over leaves, not rows
+        leaf_lo[i] = pts_sorted[s:e].min(axis=0)
+        leaf_hi[i] = pts_sorted[s:e].max(axis=0)
+    return KDTree(
+        points=pts_sorted,
+        perm=perm,
+        leaf_start=starts,
+        leaf_lo=leaf_lo,
+        leaf_hi=leaf_hi,
+        node_axis=np.array(node_axis, dtype=np.int8),
+        node_split=np.array(node_split, dtype=np.float64),
+        depth=max_depth,
+    )
+
+
+def _scan_pairs(tree: KDTree, qc: np.ndarray, scan: np.ndarray):
+    """Vectorized leaf scan: expand every True (query, leaf) pair of `scan`
+    into its (query, point) rows and compute distances in one shot.
+
+    Returns (q_idx, pt_idx_sorted_order, dist) flat arrays where pt_idx
+    indexes tree.points (leaf-contiguous order)."""
+    leaf_counts = np.diff(tree.leaf_start)
+    pq, pl = np.nonzero(scan)
+    if len(pq) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    cnt = leaf_counts[pl]
+    total = int(cnt.sum())
+    off = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=off[1:])
+    pt_idx = np.repeat(tree.leaf_start[pl], cnt) + (
+        np.arange(total, dtype=np.int64) - np.repeat(off[:-1], cnt)
+    )
+    q_idx = np.repeat(pq, cnt)
+    diff = qc[q_idx] - tree.points[pt_idx]
+    dist = np.sqrt((diff * diff).sum(axis=1))
+    return q_idx, pt_idx, dist
+
+
+def _leaf_min_dist(tree: KDTree, q: np.ndarray) -> np.ndarray:
+    """(Q,L) min-distance matrix from queries to leaf bboxes — the batched
+    distToRegion (``src/_l2space.hpp:134-168``).
+
+    Computed per dimension as (Q,1) x (1,L) broadcasts so the contiguous
+    inner axis is L (a 3-D (Q,L,d) broadcast with d=2 inner would defeat
+    NumPy's SIMD fast path — measured ~100x slower)."""
+    Q, d = q.shape
+    L = tree.n_leaves
+    dmin2 = np.zeros((Q, L), dtype=np.float64)
+    for j in range(d):  # loop over dimensions (2), not rows
+        lo = tree.leaf_lo[:, j][None, :]  # (1,L)
+        hi = tree.leaf_hi[:, j][None, :]
+        qj = q[:, j][:, None]  # (Q,1)
+        a = lo - qj
+        b = qj - hi
+        m = np.maximum(a, b)
+        np.maximum(m, 0.0, out=m)
+        dmin2 += m * m
+    return np.sqrt(dmin2)
+
+
+def knn(
+    tree: KDTree,
+    queries: np.ndarray,
+    k: int,
+    tie_key: np.ndarray | None = None,
+    max_radius: float = np.inf,
+    chunk: int = 4096,
+):
+    """Exact bounded kNN for a batch of queries against one tree.
+
+    Returns (qi, idx, dist): flat candidate arrays where ``idx`` indexes the
+    ORIGINAL point order (via tree.perm) and each query contributes its
+    <=k nearest admitted points sorted by (dist, tie_key).
+
+    tie_key: per-ORIGINAL-point int64 sort key for deterministic tie breaks
+    (engine passes the rank of image_id); defaults to original index.
+    max_radius seeds the admission bound (reference Q3 radius seeding,
+    ``src/_kdtree_median.hpp:131-137``).
+    """
+    assert k >= 1
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    if tree.n == 0 or len(q) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    if tie_key is None:
+        tie_key = np.arange(tree.n, dtype=np.int64)
+    tie_sorted = np.asarray(tie_key, dtype=np.int64)[tree.perm]
+
+    leaf_counts = np.diff(tree.leaf_start)
+    out_qi: list[np.ndarray] = []
+    out_idx: list[np.ndarray] = []
+    out_dist: list[np.ndarray] = []
+
+    # Bound per-chunk (Q,L) temporaries to ~2M elements (16 MB) so NumPy
+    # temps stay on the malloc heap and get reused.  Fresh mmap'd regions
+    # pay a first-touch page-fault cost that dominates runtime in VM
+    # sandboxes (measured ~100x slowdown at 64 MB temps).
+    chunk = max(256, min(chunk, 2_000_000 // max(tree.n_leaves, 1)))
+
+    for c0 in range(0, len(q), chunk):  # memory-bounding chunk loop
+        qc = q[c0 : c0 + chunk]
+        Q = len(qc)
+        dmin = _leaf_min_dist(tree, qc)  # (Q,L)
+
+        # phase 1: scan the nearest leaves covering >= k points
+        order = np.argsort(dmin, axis=1, kind="stable")  # (Q,L)
+        counts_ord = leaf_counts[order]
+        cum = np.cumsum(counts_ord, axis=1)
+        need = np.argmax(cum >= k, axis=1)  # first prefix covering k points
+        enough = cum[:, -1] >= k
+        need = np.where(enough, need, tree.n_leaves - 1)
+        prefix = np.arange(tree.n_leaves)[None, :] <= need[:, None]
+        scan1 = np.zeros((Q, tree.n_leaves), dtype=bool)
+        np.put_along_axis(scan1, order, prefix, axis=1)
+        q1, i1, d1 = _scan_pairs(tree, qc, scan1)
+        if len(q1) == 0:
+            continue
+
+        # true kth-distance bound from phase-1 candidates (the batched
+        # analogue of the reference's shrinking dist_ after first descent)
+        srt1 = np.lexsort((d1, q1))
+        q1, i1, d1 = q1[srt1], i1[srt1], d1[srt1]
+        first = np.searchsorted(q1, np.arange(Q))
+        countq = np.diff(np.append(first, len(q1)))
+        kth_pos = first + np.minimum(k, np.maximum(countq, 1)) - 1
+        bound = np.where(countq >= k, d1[np.minimum(kth_pos, len(d1) - 1)], np.inf)
+        bound = np.minimum(bound, max_radius)
+
+        # phase 2: distToRegion pruning over the remaining leaves
+        scan2 = (dmin <= bound[:, None]) & ~scan1
+        q2, i2, d2 = _scan_pairs(tree, qc, scan2)
+
+        cqi = np.concatenate([q1, q2])
+        cidx = np.concatenate([i1, i2])
+        cdist = np.concatenate([d1, d2])
+        adm = cdist <= bound[cqi]  # admission d <= dist_
+        cqi, cidx, cdist = cqi[adm], cidx[adm], cdist[adm]
+        if len(cqi) == 0:
+            continue
+
+        # step 4: exact top-k per query by (dist, tie_key) — one lexsort
+        srt = np.lexsort((tie_sorted[cidx], cdist, cqi))
+        cqi, cidx, cdist = cqi[srt], cidx[srt], cdist[srt]
+        first = np.searchsorted(cqi, np.arange(Q))
+        rank = np.arange(len(cqi)) - first[cqi]
+        keep = rank < k
+        out_qi.append(cqi[keep] + c0)
+        out_idx.append(tree.perm[cidx[keep]])
+        out_dist.append(cdist[keep])
+
+    if not out_qi:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(out_qi),
+        np.concatenate(out_idx),
+        np.concatenate(out_dist),
+    )
+
+
+def radius(tree: KDTree, queries: np.ndarray, r: float, chunk: int = 4096):
+    """All points with dist <= r per query (reference Q3: large k + finite
+    maxRadius).  Returns flat (qi, idx, dist) in original point order."""
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    if tree.n == 0 or len(q) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    out_qi, out_idx, out_dist = [], [], []
+    chunk = max(256, min(chunk, 2_000_000 // max(tree.n_leaves, 1)))
+    for c0 in range(0, len(q), chunk):
+        qc = q[c0 : c0 + chunk]
+        dmin = _leaf_min_dist(tree, qc)
+        scan = dmin <= r
+        cqi, cidx, cdist = _scan_pairs(tree, qc, scan)
+        adm = cdist <= r
+        out_qi.append(cqi[adm] + c0)
+        out_idx.append(tree.perm[cidx[adm]])
+        out_dist.append(cdist[adm])
+    if not out_qi:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(out_qi),
+        np.concatenate(out_idx),
+        np.concatenate(out_dist),
+    )
+
+
+def brute_force_knn(
+    points: np.ndarray, queries: np.ndarray, k: int, tie_key: np.ndarray | None = None
+):
+    """Oracle: exact top-k by (dist, tie_key) via full distance matrix.
+    Mirrors the reference's test oracle (partial_sort over all points,
+    ``test/kdtree_test.cpp:95-104``)."""
+    pts = np.asarray(points, dtype=np.float64)
+    q = np.asarray(queries, dtype=np.float64)
+    if tie_key is None:
+        tie_key = np.arange(len(pts), dtype=np.int64)
+    diff = q[:, None, :] - pts[None, :, :]
+    dist = np.sqrt((diff * diff).sum(axis=2))
+    out_qi, out_idx, out_dist = [], [], []
+    kk = min(k, len(pts))
+    for i in range(len(q)):  # oracle only — allowed to be slow/loopy
+        srt = np.lexsort((tie_key, dist[i]))[:kk]
+        out_qi.append(np.full(kk, i, dtype=np.int64))
+        out_idx.append(srt.astype(np.int64))
+        out_dist.append(dist[i][srt])
+    return np.concatenate(out_qi), np.concatenate(out_idx), np.concatenate(out_dist)

@@ -1,0 +1,283 @@
+"""Deterministic synthetic image+caption corpus and geo fixtures.
+
+Generates the engine's primary input table in exactly the ``input_hint``
+schema ``(image_id string, bytes binary, w int32, h int32, fmt string,
+caption string, phash int64)`` plus query points, polygons and raster tiles
+(FIXTURES.md F1-F4).  Everything is a pure function of (size, seed) — no
+wall clock, no external data — mirroring the reference's deterministic
+default-seeded samplers (``test/state_sampler.hpp:7-57``).
+
+Coordinate convention (the documented constant from FIXTURES.md F1):
+``phash`` carries the location — high 32 bits -> lat, low 32 bits -> lon via
+:func:`sparkkd.cells.phash_to_coords`.  We sample coordinates first (uniform
+over the globe AND clustered-with-hot-spot mixtures, per the reference's
+uniform + clustered test corpora), quantize them into ``phash``, then derive
+the canonical coords back FROM ``phash`` so the mapping is exact.
+
+Pixels are a deterministic per-row pattern seeded by ``phash`` (vectorized
+gradient — no per-row RNG), encoded with :mod:`sparkkd.codec`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import cells, codec
+
+_WORDS = (
+    "ocean cliff sunset harbor forest meadow glacier canyon desert reef "
+    "skyline bridge lantern market temple garden valley summit lagoon dune"
+).split()
+
+SIZES = np.array([16, 24, 32], dtype=np.int32)
+FMTS = ("raw", "bmp", "png")
+
+# sf tag -> (n_images, n_queries)
+SF_SIZES = {
+    "sf0.001": (2_000, 200),
+    "sf0.01": (20_000, 2_000),
+    "sf0.1": (200_000, 10_000),
+}
+
+FIXTURE_VERSION = 3  # bump to invalidate cached fixtures
+
+# hot-spot box: all hot rows fall inside this tiny bbox -> one hot grid cell
+# at any level <= ~13 (box is ~0.04 deg wide).  Exercises salting.
+HOT_LON, HOT_LAT, HOT_W = 12.48, 41.89, 0.04
+HOT_FRAC = 0.05
+CLUSTER_FRAC = 0.30
+N_CLUSTERS = 32
+
+
+def _sample_coords(n: int, rng: np.random.Generator):
+    """Mixture: uniform globe + Gaussian clusters + one hot spot."""
+    n_hot = int(n * HOT_FRAC)
+    n_clu = int(n * CLUSTER_FRAC)
+    n_uni = n - n_hot - n_clu
+    lon_u = rng.uniform(-180.0, 180.0, n_uni)
+    lat_u = rng.uniform(-90.0, 90.0, n_uni)
+    centers_lon = rng.uniform(-170.0, 170.0, N_CLUSTERS)
+    centers_lat = rng.uniform(-80.0, 80.0, N_CLUSTERS)
+    which = rng.integers(0, N_CLUSTERS, n_clu)
+    lon_c = np.clip(centers_lon[which] + rng.normal(0, 0.8, n_clu), -180.0, 179.999)
+    lat_c = np.clip(centers_lat[which] + rng.normal(0, 0.8, n_clu), -90.0, 89.999)
+    lon_h = rng.uniform(HOT_LON, HOT_LON + HOT_W, n_hot)
+    lat_h = rng.uniform(HOT_LAT, HOT_LAT + HOT_W, n_hot)
+    lon = np.concatenate([lon_u, lon_c, lon_h])
+    lat = np.concatenate([lat_u, lat_c, lat_h])
+    order = rng.permutation(n)
+    return lon[order], lat[order]
+
+
+def _captions(image_ids: np.ndarray, phash: np.ndarray) -> np.ndarray:
+    """Deterministic caption per row, vectorized via phash bit slices."""
+    w = np.asarray(_WORDS)
+    u = phash.view(np.uint64)
+    t1 = w[(u >> np.uint64(3)) % np.uint64(len(w))]
+    t2 = w[(u >> np.uint64(17)) % np.uint64(len(w))]
+    t3 = w[(u >> np.uint64(41)) % np.uint64(len(w))]
+    return np.char.add(
+        np.char.add(np.char.add("caption for ", image_ids), ": "),
+        np.char.add(np.char.add(np.char.add(t1, " "), np.char.add(t2, " ")), t3),
+    )
+
+
+def gen_images(n: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    lon, lat = _sample_coords(n, rng)
+    phash = cells.coords_to_phash(lat, lon)
+    # canonical coords = derived back from phash (exact round trip)
+    lat, lon = cells.phash_to_coords(phash)
+    image_ids = np.array([f"img{i:08d}" for i in range(n)])
+    u = phash.view(np.uint64)
+    w = SIZES[(u % np.uint64(3)).astype(np.int64)]
+    h = SIZES[((u >> np.uint64(7)) % np.uint64(3)).astype(np.int64)]
+    fmt_idx = ((u >> np.uint64(13)) % np.uint64(3)).astype(np.int64)
+    a = ((u >> np.uint64(20)) & np.uint64(0xFF)).astype(np.int64)
+    b = ((u >> np.uint64(28)) & np.uint64(0xFF)).astype(np.int64)
+    c = ((u >> np.uint64(36)) & np.uint64(0xFF)).astype(np.int64)
+
+    blobs: list[bytes] = []
+    # group rows by (w, h) so the pixel pattern computes as one vector op
+    pixel_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    for i in range(n):  # encode loop: per-image zlib/struct, cached grids
+        wi, hi = int(w[i]), int(h[i])
+        if (wi, hi) not in pixel_cache:
+            yy, xx = np.mgrid[0:hi, 0:wi]
+            pixel_cache[(wi, hi)] = (xx, yy)
+        xx, yy = pixel_cache[(wi, hi)]
+        px = np.empty((hi, wi, 3), dtype=np.uint8)
+        px[:, :, 0] = (a[i] * 3 + xx * 5 + yy * 7) % 256
+        px[:, :, 1] = (b[i] * 3 + xx * 11 + yy * 2) % 256
+        px[:, :, 2] = (c[i] * 3 + xx * 4 + yy * 13) % 256
+        blobs.append(codec.encode(px, FMTS[fmt_idx[i]]))
+
+    return pa.table(
+        {
+            "image_id": pa.array(image_ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array([FMTS[j] for j in fmt_idx], pa.string()),
+            "caption": pa.array(_captions(image_ids, phash), pa.string()),
+            "phash": pa.array(phash, pa.int64()),
+        }
+    )
+
+
+def expected_pixels(phash: int, w: int, h: int) -> np.ndarray:
+    """Recompute the deterministic pattern for invariant checks."""
+    u = np.uint64(phash)
+    a = int((u >> np.uint64(20)) & np.uint64(0xFF))
+    b = int((u >> np.uint64(28)) & np.uint64(0xFF))
+    c = int((u >> np.uint64(36)) & np.uint64(0xFF))
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = (a * 3 + xx * 5 + yy * 7) % 256
+    px[:, :, 1] = (b * 3 + xx * 11 + yy * 2) % 256
+    px[:, :, 2] = (c * 3 + xx * 4 + yy * 13) % 256
+    return px
+
+
+def gen_queries(nq: int, seed: int = 43) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    lon, lat = _sample_coords(nq, rng)
+    return pa.table(
+        {
+            "query_id": pa.array([f"q{i:08d}" for i in range(nq)], pa.string()),
+            "qlat": pa.array(lat, pa.float64()),
+            "qlon": pa.array(lon, pa.float64()),
+        }
+    )
+
+
+def gen_polygons(n_poly: int = 32, seed: int = 44) -> pa.Table:
+    """Vertex-exploded polygons: (poly_id, ring, seq, x=lon, y=lat).
+
+    Mix of convex regular n-gons (n in 3..8), non-convex stars, and one
+    polygon with a hole (ring 1 = inner ring).  Ray-cast semantics: a point
+    is inside iff crossing count over ALL rings is odd.
+    """
+    rng = np.random.default_rng(seed)
+    rows_pid, rows_ring, rows_seq, rows_x, rows_y = [], [], [], [], []
+
+    def emit(pid: str, ring: int, xs: np.ndarray, ys: np.ndarray):
+        for s, (x, y) in enumerate(zip(xs, ys)):
+            rows_pid.append(pid)
+            rows_ring.append(ring)
+            rows_seq.append(s)
+            rows_x.append(float(x))
+            rows_y.append(float(y))
+
+    for i in range(n_poly):
+        pid = f"poly{i:04d}"
+        cx = rng.uniform(-150.0, 150.0)
+        cy = rng.uniform(-70.0, 70.0)
+        r = rng.uniform(1.0, 8.0)
+        if i % 3 == 2:  # star (non-convex)
+            k = int(rng.integers(5, 8))
+            ang = np.arange(2 * k) * np.pi / k + rng.uniform(0, np.pi)
+            rad = np.where(np.arange(2 * k) % 2 == 0, r, r * 0.45)
+            emit(pid, 0, cx + rad * np.cos(ang), cy + rad * np.sin(ang))
+        else:  # convex regular n-gon
+            k = int(rng.integers(3, 9))
+            ang = np.arange(k) * 2 * np.pi / k + rng.uniform(0, np.pi)
+            emit(pid, 0, cx + r * np.cos(ang), cy + r * np.sin(ang))
+        if i == n_poly - 1:  # donut: add a hole ring
+            k = 6
+            ang = np.arange(k) * 2 * np.pi / k
+            emit(pid, 1, cx + 0.4 * r * np.cos(ang), cy + 0.4 * r * np.sin(ang))
+
+    return pa.table(
+        {
+            "poly_id": pa.array(rows_pid, pa.string()),
+            "ring": pa.array(rows_ring, pa.int32()),
+            "seq": pa.array(rows_seq, pa.int32()),
+            "x": pa.array(rows_x, pa.float64()),
+            "y": pa.array(rows_y, pa.float64()),
+        }
+    )
+
+
+def gen_tiles(grid: int = 16, seed: int = 45) -> pa.Table:
+    """Raster tiles: regular grid over the globe with deterministic pixels."""
+    xs = np.linspace(-180.0, 180.0, grid + 1)
+    ys = np.linspace(-90.0, 90.0, grid + 1)
+    tid, min_x, min_y, max_x, max_y, pix = [], [], [], [], [], []
+    for iy in range(grid):
+        for ix in range(grid):
+            tid.append(f"8/{ix}/{iy}")
+            min_x.append(xs[ix])
+            min_y.append(ys[iy])
+            max_x.append(xs[ix + 1])
+            max_y.append(ys[iy + 1])
+            yy, xx = np.mgrid[0:16, 0:16]
+            px = np.empty((16, 16, 3), dtype=np.uint8)
+            px[:, :, 0] = (ix * 16 + xx) % 256
+            px[:, :, 1] = (iy * 16 + yy) % 256
+            px[:, :, 2] = (ix * iy + xx * yy) % 256
+            pix.append(codec.encode_raw(px))
+    return pa.table(
+        {
+            "tile_id": pa.array(tid, pa.string()),
+            "min_x": pa.array(min_x, pa.float64()),
+            "min_y": pa.array(min_y, pa.float64()),
+            "max_x": pa.array(max_x, pa.float64()),
+            "max_y": pa.array(max_y, pa.float64()),
+            "pixels": pa.array(pix, pa.binary()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+def fixtures_root() -> Path:
+    return Path(os.environ.get("SPARKKD_FIXTURES", "/root/repo/_fixtures"))
+
+
+def sf_tag(sf_dir: str) -> str:
+    """'/root/testdata/sf0.01' -> 'sf0.01'."""
+    name = Path(sf_dir).name
+    return name if name in SF_SIZES else "sf0.01"
+
+
+def ensure_fixtures(tag: str) -> Path:
+    """Idempotently materialize the fixture parquet files for one sf tag."""
+    n, nq = SF_SIZES[tag]
+    out = fixtures_root() / tag
+    manifest = out / "manifest.json"
+    want = {"version": FIXTURE_VERSION, "n": n, "nq": nq}
+    if manifest.exists():
+        try:
+            if json.loads(manifest.read_text()) == want:
+                return out
+        except Exception:
+            pass
+    tmp = out.with_suffix(".tmp")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+    pq.write_table(gen_images(n), tmp / "images.parquet")
+    pq.write_table(gen_queries(nq), tmp / "queries.parquet")
+    pq.write_table(gen_polygons(), tmp / "polygons.parquet")
+    pq.write_table(gen_tiles(), tmp / "tiles.parquet")
+    (tmp / "manifest.json").write_text(json.dumps(want))
+    if out.exists():
+        import shutil
+
+        shutil.rmtree(out)
+    tmp.rename(out)
+    return out
+
+
+def fixture_path(tag: str, table: str) -> str:
+    return str(fixtures_root() / tag / f"{table}.parquet")
