@@ -58,19 +58,29 @@ def cell_id(lon: np.ndarray, lat: np.ndarray, level: int = DEFAULT_LEVEL) -> np.
     return iy * n + ix
 
 
+def sql_double(v: float) -> str:
+    """Render a float literal portably: Spark parses `90.0` as DECIMAL(3,1)
+    while DuckDB parses DOUBLE — an explicit CAST makes both engines run
+    the identical IEEE double expression."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
 def cell_id_sql(lon_expr: str, lat_expr: str, level: int = DEFAULT_LEVEL) -> str:
     """One SQL string valid in BOTH Spark SQL and DuckDB, same IEEE op order
     as :func:`cell_id`.  floor() output is cast to BIGINT because DuckDB's
-    floor(double) is double while Spark's is bigint."""
+    floor(double) is double while Spark's is bigint; float literals are
+    CAST AS DOUBLE (see :func:`sql_double`)."""
     n = 1 << level
-    ix = (
-        f"least(CAST({n - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
-        f"CAST(floor((({lon_expr}) - {X_MIN:.1f}) / {X_SPAN:.1f} * {n}.0) AS BIGINT)))"
-    )
-    iy = (
-        f"least(CAST({n - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
-        f"CAST(floor((({lat_expr}) - {Y_MIN:.1f}) / {Y_SPAN:.1f} * {n}.0) AS BIGINT)))"
-    )
+
+    def axis(expr: str, vmin: float, vspan: float) -> str:
+        return (
+            f"least(CAST({n - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+            f"CAST(floor((({expr}) - {sql_double(vmin)}) / {sql_double(vspan)}"
+            f" * {sql_double(float(n))}) AS BIGINT)))"
+        )
+
+    ix = axis(lon_expr, X_MIN, X_SPAN)
+    iy = axis(lat_expr, Y_MIN, Y_SPAN)
     return f"({iy} * CAST({n} AS BIGINT) + {ix})"
 
 
@@ -78,8 +88,14 @@ def cell_id_sql(lon_expr: str, lat_expr: str, level: int = DEFAULT_LEVEL) -> str
 # high 32 bits -> lat, low 32 bits -> lon.  Works on signed int64 because
 # (phash >> 32) & 0xFFFFFFFF extracts bits 63..32 regardless of sign
 # convention (arithmetic shift + mask == logical shift).
-PHASH_LAT_SQL = "((({p} >> 32) & 4294967295) / 4294967296.0 * 180.0 - 90.0)"
-PHASH_LON_SQL = "((({p} & 4294967295)) / 4294967296.0 * 360.0 - 180.0)"
+PHASH_LAT_SQL = (
+    "((({p} >> 32) & 4294967295) / CAST(4294967296.0 AS DOUBLE)"
+    " * CAST(180.0 AS DOUBLE) - CAST(90.0 AS DOUBLE))"
+)
+PHASH_LON_SQL = (
+    "((({p} & 4294967295)) / CAST(4294967296.0 AS DOUBLE)"
+    " * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE))"
+)
 
 
 def phash_lat_sql(p: str = "phash") -> str:

@@ -1,0 +1,503 @@
+"""Spark pipelines: the distributed re-expression of the reference queries.
+
+Every operator follows the same Spark-first shape:
+
+    parquet scan (pushdown/pruning by Catalyst)
+      -> derive coords + cell_id with BUILT-IN column exprs (JVM, codegen)
+      -> shuffle on the cell key (repartition implied by groupBy/cogroup)
+      -> per-cell NumPy k-d kernel inside ONE Arrow UDF (sparkkd.kernel)
+      -> window merge / joins with built-in operators
+
+Cross-cell exactness uses the same branch-and-bound reasoning as the
+reference's ``shouldTraverse`` (``src/_kdtree_median.hpp:136-138``), lifted
+one level up: per-cell data bboxes play the role of node regions, and a
+per-query kth-distance upper bound (derived from cell point counts) prunes
+whole cells before any shuffle row is produced.
+
+Skew handling is explicit (north_rule): cells whose row count exceeds
+``max_cell_rows`` are salted into ``ceil(count/max_cell_rows)`` sub-trees;
+query candidates are replicated to every salt of a candidate cell, so
+exactness is preserved (all sub-trees of a probed cell are probed).
+
+Scale notes (designed for 10^12 rows / 1000 executors, tested local[32]):
+
+* The only driver-side state is the per-cell stats table
+  (cell_id, count, bbox) — bounded by the number of OCCUPIED cells.  At
+  level 13 that is <= 67M rows; production would aggregate stats at a
+  coarser level first (same pruning math, looser bboxes).  Everything else
+  stays distributed.
+* Shuffles: one for stats (map-side combined count/min/max), one cogroup on
+  the salted cell key, one window on query_id.  No cross join ever.
+* All pre-kernel expressions are Spark built-ins -> whole-stage codegen;
+  Python only touches Arrow batches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import cells, kernel
+
+SALT_SHIFT = 20  # part_key = cell_id << SALT_SHIFT | salt
+
+
+# ---------------------------------------------------------------- inputs
+
+
+def with_coords(images: DataFrame) -> DataFrame:
+    """Derive (x=lon, y=lat) from phash with JVM-side expressions (the
+    ``_GetKey`` projection of the reference, ``src/_kdtree_base.hpp:50``)."""
+    return images.withColumns(
+        {
+            "y": F.expr(cells.phash_lat_sql("phash")),
+            "x": F.expr(cells.phash_lon_sql("phash")),
+        }
+    )
+
+
+def with_cell(df: DataFrame, level: int, x: str = "x", y: str = "y") -> DataFrame:
+    return df.withColumn("cell_id", F.expr(cells.cell_id_sql(x, y, level)))
+
+
+@dataclass
+class CellStats:
+    """Driver-side pruning statistics: one row per occupied cell."""
+
+    cell_ids: np.ndarray  # (C,) int64 sorted
+    counts: np.ndarray  # (C,) int64
+    min_x: np.ndarray
+    min_y: np.ndarray
+    max_x: np.ndarray
+    max_y: np.ndarray
+    salt_n: np.ndarray  # (C,) int64 number of salts per cell
+    level: int
+
+    @property
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+
+def collect_cell_stats(
+    img: DataFrame, level: int, max_cell_rows: int = 8192
+) -> CellStats:
+    """One map-side-combined aggregation; result is small (occupied cells)."""
+    pdf = (
+        img.groupBy("cell_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("x").alias("min_x"),
+            F.min("y").alias("min_y"),
+            F.max("x").alias("max_x"),
+            F.max("y").alias("max_y"),
+        )
+        .toPandas()
+        .sort_values("cell_id")
+    )
+    counts = pdf["cnt"].to_numpy(np.int64)
+    return CellStats(
+        cell_ids=pdf["cell_id"].to_numpy(np.int64),
+        counts=counts,
+        min_x=pdf["min_x"].to_numpy(np.float64),
+        min_y=pdf["min_y"].to_numpy(np.float64),
+        max_x=pdf["max_x"].to_numpy(np.float64),
+        max_y=pdf["max_y"].to_numpy(np.float64),
+        salt_n=np.maximum(1, -(-counts // max_cell_rows)).astype(np.int64),
+        level=level,
+    )
+
+
+def _salted_images(spark: SparkSession, img: DataFrame, stats: CellStats) -> DataFrame:
+    """Attach part_key = cell_id<<20 | salt; salt = pmod(xxhash64(id), n)."""
+    salt_df = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"cell_id": stats.cell_ids, "salt_n": stats.salt_n}
+            )
+        )
+    )
+    return img.join(salt_df, "cell_id").withColumn(
+        "part_key",
+        (F.col("cell_id") * (1 << SALT_SHIFT))
+        + F.pmod(F.xxhash64("image_id"), F.col("salt_n")),
+    )
+
+
+def _candidate_part_keys(stats: CellStats) -> pd.DataFrame:
+    """(cell_id, part_key) exploded over salts — broadcast-joined to
+    candidates so a probed cell probes ALL of its salted sub-trees."""
+    reps = stats.salt_n
+    cell = np.repeat(stats.cell_ids, reps)
+    off = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
+    return pd.DataFrame({"cell_id": cell, "part_key": (cell << SALT_SHIFT) + salt})
+
+
+# ------------------------------------------------------- candidate pruning
+
+
+def _knn_candidates(
+    spark: SparkSession, queries: DataFrame, stats: CellStats, k: int
+) -> DataFrame:
+    """queries (query_id, x, y) -> (query_id, x, y, part_key) candidate pairs.
+
+    Vectorized cross-cell pruning (mapInPandas over query batches against
+    broadcast cell stats): for each query, cells sorted by bbox min-dist
+    are accumulated until their counts cover k; the max farthest-corner
+    distance over that prefix upper-bounds the kth-NN distance, and only
+    cells with min-dist <= bound become candidates.  This is the
+    cross-cell ``shouldTraverse`` (``src/_kdtree_median.hpp:136-138``).
+    """
+    bc = spark.sparkContext.broadcast(
+        (stats.cell_ids, stats.counts, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
+    )
+
+    def gen(batches):
+        cell_ids, counts, mnx, mny, mxx, mxy = bc.value
+        C = len(cell_ids)
+        for pdf in batches:
+            if len(pdf) == 0 or C == 0:
+                continue
+            qx = pdf["x"].to_numpy(np.float64)
+            qy = pdf["y"].to_numpy(np.float64)
+            chunk = max(64, 2_000_000 // max(C, 1))
+            for c0 in range(0, len(pdf), chunk):
+                sl = slice(c0, min(c0 + chunk, len(pdf)))
+                px, py = qx[sl][:, None], qy[sl][:, None]
+                dmin = cells.bbox_min_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
+                dmax = cells.bbox_max_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
+                order = np.argsort(dmin, axis=1, kind="stable")
+                cum = np.cumsum(counts[order], axis=1)
+                need = np.argmax(cum >= k, axis=1)
+                enough = cum[:, -1] >= k
+                need = np.where(enough, need, C - 1)
+                run_max = np.maximum.accumulate(
+                    np.take_along_axis(dmax, order, axis=1), axis=1
+                )
+                bound = np.where(
+                    enough, run_max[np.arange(len(need)), need], np.inf
+                )
+                qi, ci = np.nonzero(dmin <= bound[:, None])
+                out = pdf.iloc[qi + c0][["query_id", "x", "y"]].copy()
+                out["cell_id"] = cell_ids[ci]
+                yield out
+
+    return queries.mapInPandas(
+        gen, schema="query_id string, x double, y double, cell_id long"
+    )
+
+
+# ---------------------------------------------------------------- kNN join
+
+
+def knn_join(
+    spark: SparkSession,
+    images: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    level: int | None = None,
+    max_cell_rows: int = 8192,
+    n_images_hint: int | None = None,
+) -> DataFrame:
+    """Exact kNN join: for every query row, its k nearest images by planar
+    L2 over phash-derived (lon, lat), ties broken by image_id.
+
+    Returns (query_id, image_id, dist, rank) with rank in 1..k.
+    Generalizes reference Q1/Q2 (``src/_kdtree_median.hpp:332-359``) from a
+    single query to a query table.
+    """
+    img = with_coords(images).select("image_id", "x", "y")
+    q = queries.select(
+        "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
+    )
+    if level is None:
+        n = n_images_hint if n_images_hint is not None else img.count()
+        level = cells.level_for_count(n)
+    img = with_cell(img, level)
+    stats = collect_cell_stats(img, level, max_cell_rows)
+    img_salted = _salted_images(spark, img, stats)
+
+    cand = _knn_candidates(spark, q, stats, k)
+    part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
+    cand = cand.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+
+    def knn_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "image_id": [], "dist": []})
+        pts = np.column_stack(
+            [right["x"].to_numpy(np.float64), right["y"].to_numpy(np.float64)]
+        )
+        ids = right["image_id"].to_numpy()
+        tie = np.empty(len(ids), dtype=np.int64)
+        tie[np.argsort(ids)] = np.arange(len(ids))  # lexicographic rank
+        tree = kernel.build(pts)
+        qpts = np.column_stack(
+            [left["x"].to_numpy(np.float64), left["y"].to_numpy(np.float64)]
+        )
+        qi, idx, dist = kernel.knn(tree, qpts, k, tie_key=tie)
+        return pd.DataFrame(
+            {
+                "query_id": left["query_id"].to_numpy()[qi],
+                "image_id": ids[idx],
+                "dist": dist,
+            }
+        )
+
+    per_cell = (
+        cand.groupby("part_key")
+        .cogroup(img_salted.groupby("part_key"))
+        .applyInPandas(knn_group, schema="query_id string, image_id string, dist double")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "image_id")
+    return (
+        per_cell.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "image_id", "dist", F.col("rank").cast("int"))
+    )
+
+
+# ------------------------------------------------------------- radius join
+
+
+def radius_join(
+    spark: SparkSession,
+    images: DataFrame,
+    queries: DataFrame,
+    r: float,
+    level: int | None = None,
+    max_cell_rows: int = 8192,
+    n_images_hint: int | None = None,
+) -> DataFrame:
+    """All (query, image) pairs with planar L2 distance <= r (reference Q3:
+    kNN entry with finite maxRadius, ``src/_kdtree_median.hpp:131-137``)."""
+    img = with_coords(images).select("image_id", "x", "y")
+    q = queries.select("query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y"))
+    if level is None:
+        n = n_images_hint if n_images_hint is not None else img.count()
+        level = cells.level_for_count(n)
+    img = with_cell(img, level)
+    stats = collect_cell_stats(img, level, max_cell_rows)
+    img_salted = _salted_images(spark, img, stats)
+
+    bc = spark.sparkContext.broadcast(
+        (stats.cell_ids, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
+    )
+
+    def gen(batches):
+        cell_ids, mnx, mny, mxx, mxy = bc.value
+        C = len(cell_ids)
+        for pdf in batches:
+            if len(pdf) == 0 or C == 0:
+                continue
+            qx = pdf["x"].to_numpy(np.float64)
+            qy = pdf["y"].to_numpy(np.float64)
+            chunk = max(64, 2_000_000 // max(C, 1))
+            for c0 in range(0, len(pdf), chunk):
+                sl = slice(c0, min(c0 + chunk, len(pdf)))
+                dmin = cells.bbox_min_dist(
+                    qx[sl][:, None], qy[sl][:, None],
+                    mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :],
+                )
+                qi, ci = np.nonzero(dmin <= r)
+                out = pdf.iloc[qi + c0][["query_id", "x", "y"]].copy()
+                out["cell_id"] = cell_ids[ci]
+                yield out
+
+    cand = q.mapInPandas(gen, schema="query_id string, x double, y double, cell_id long")
+    part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
+    cand = cand.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+
+    def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "image_id": [], "dist": []})
+        pts = np.column_stack(
+            [right["x"].to_numpy(np.float64), right["y"].to_numpy(np.float64)]
+        )
+        tree = kernel.build(pts)
+        qpts = np.column_stack(
+            [left["x"].to_numpy(np.float64), left["y"].to_numpy(np.float64)]
+        )
+        qi, idx, dist = kernel.radius(tree, qpts, r)
+        return pd.DataFrame(
+            {
+                "query_id": left["query_id"].to_numpy()[qi],
+                "image_id": right["image_id"].to_numpy()[idx],
+                "dist": dist,
+            }
+        )
+
+    return (
+        cand.groupby("part_key")
+        .cogroup(img_salted.groupby("part_key"))
+        .applyInPandas(
+            radius_group, schema="query_id string, image_id string, dist double"
+        )
+    )
+
+
+# --------------------------------------------------------- point-in-polygon
+
+
+def _polygon_arrays(polygons_pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+    """poly_id -> (E,4) edge array [x1,y1,x2,y2] over all rings."""
+    out: dict[str, np.ndarray] = {}
+    for (pid, ring), g in polygons_pdf.sort_values(["poly_id", "ring", "seq"]).groupby(
+        ["poly_id", "ring"]
+    ):
+        xs = g["x"].to_numpy(np.float64)
+        ys = g["y"].to_numpy(np.float64)
+        e = np.column_stack([xs, ys, np.roll(xs, -1), np.roll(ys, -1)])
+        out[pid] = np.vstack([out[pid], e]) if pid in out else e
+    return out
+
+
+def ray_cast_inside(px: np.ndarray, py: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting (P x E).  A point is inside iff a
+    horizontal ray to +x crosses an odd number of edges (all rings — holes
+    naturally subtract).  Crossing rule matches the oracle SQL term for
+    term so results are identical."""
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) / (y2 - y1)[None, :] + x1[
+            None, :
+        ]
+    crossing = cond & (px[:, None] < xs)
+    return crossing.sum(axis=1) % 2 == 1
+
+
+def pip_join(
+    spark: SparkSession,
+    images: DataFrame,
+    polygons: DataFrame,
+    level: int = 6,
+) -> DataFrame:
+    """(image_id, poly_id) pairs where the image point lies inside the
+    polygon (even-odd ray cast; SURVEY §2.4).  Polygons are the small side:
+    their covering cells are enumerated driver-side and broadcast, so the
+    only shuffle is the images' groupBy — the equi-join on cell_id is
+    broadcast, and refinement is a vectorized Arrow kernel."""
+    poly_pdf = polygons.toPandas()
+    edges = _polygon_arrays(poly_pdf)
+    # covering cells per polygon bbox at `level` (coarse prefilter)
+    rows = []
+    n = 1 << level
+    for pid, e in edges.items():
+        mnx, mxx = min(e[:, 0].min(), e[:, 2].min()), max(e[:, 0].max(), e[:, 2].max())
+        mny, mxy = min(e[:, 1].min(), e[:, 3].min()), max(e[:, 1].max(), e[:, 3].max())
+        ix0 = int(cells.axis_index(np.array([mnx]), cells.X_MIN, cells.X_SPAN, n)[0])
+        ix1 = int(cells.axis_index(np.array([mxx]), cells.X_MIN, cells.X_SPAN, n)[0])
+        iy0 = int(cells.axis_index(np.array([mny]), cells.Y_MIN, cells.Y_SPAN, n)[0])
+        iy1 = int(cells.axis_index(np.array([mxy]), cells.Y_MIN, cells.Y_SPAN, n)[0])
+        for iy in range(iy0, iy1 + 1):
+            for ix in range(ix0, ix1 + 1):
+                rows.append((pid, iy * n + ix))
+    cover = F.broadcast(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["poly_id", "cell_id"]))
+    )
+
+    img = with_cell(with_coords(images).select("image_id", "x", "y"), level)
+    cand = img.join(cover, "cell_id").select("image_id", "x", "y", "poly_id")
+
+    bc = spark.sparkContext.broadcast(edges)
+
+    def refine(batches):
+        ed = bc.value
+        for pdf in batches:
+            for pid, g in pdf.groupby("poly_id"):  # loop over polygons only
+                inside = ray_cast_inside(
+                    g["x"].to_numpy(np.float64), g["y"].to_numpy(np.float64), ed[pid]
+                )
+                if inside.any():
+                    yield g.loc[inside, ["image_id", "poly_id"]]
+
+    return cand.mapInPandas(refine, schema="image_id string, poly_id string")
+
+
+# -------------------------------------------------- raster <-> vector join
+
+
+def footprints_from_polygons(polygons: DataFrame) -> DataFrame:
+    """Polygon bounding boxes (the 'vector footprint' side)."""
+    return polygons.groupBy("poly_id").agg(
+        F.min("x").alias("mnx"),
+        F.min("y").alias("mny"),
+        F.max("x").alias("mxx"),
+        F.max("y").alias("mxy"),
+    )
+
+
+def raster_vector_join(
+    spark: SparkSession,
+    tiles: DataFrame,
+    footprints: DataFrame,
+    level: int = 4,
+) -> DataFrame:
+    """(tile_id, poly_id) pairs whose bboxes overlap (closed intervals).
+
+    Scalable range-join pattern (SURVEY §2.4): both sides explode their
+    bbox into covering cells at a coarse level, equi-join on cell_id
+    (co-partitioned shuffle join — no theta join), then the exact interval
+    predicate refines and DISTINCT dedupes multi-cell matches."""
+    n = 1 << level
+
+    def axis_sql(expr: str, vmin: float, vspan: float) -> str:
+        return (
+            f"least(CAST({n - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+            f"CAST(floor((({expr}) - {cells.sql_double(vmin)}) / "
+            f"{cells.sql_double(vspan)} * {cells.sql_double(float(n))}) AS BIGINT)))"
+        )
+
+    def cover(df: DataFrame, idc: str, mnx: str, mny: str, mxx: str, mxy: str):
+        # explode bbox into its covering cell range via sequence()
+        return df.select(
+            idc,
+            mnx,
+            mny,
+            mxx,
+            mxy,
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(
+                        sequence({axis_sql(mny, cells.Y_MIN, cells.Y_SPAN)},
+                                 {axis_sql(mxy, cells.Y_MIN, cells.Y_SPAN)}),
+                        iy -> transform(
+                          sequence({axis_sql(mnx, cells.X_MIN, cells.X_SPAN)},
+                                   {axis_sql(mxx, cells.X_MIN, cells.X_SPAN)}),
+                          ix -> iy * CAST({n} AS BIGINT) + ix)))"""
+                )
+            ).alias("cell_id"),
+        )
+
+    t = cover(tiles, "tile_id", "min_x", "min_y", "max_x", "max_y")
+    p = cover(footprints, "poly_id", "mnx", "mny", "mxx", "mxy")
+    joined = t.join(p, "cell_id").where(
+        (F.col("mnx") <= F.col("max_x"))
+        & (F.col("mxx") >= F.col("min_x"))
+        & (F.col("mny") <= F.col("max_y"))
+        & (F.col("mxy") >= F.col("min_y"))
+    )
+    return joined.select("tile_id", "poly_id").distinct()
+
+
+# ---------------------------------------------------------------- lineage
+
+
+def cell_lineage(images: DataFrame, level: int) -> DataFrame:
+    """Per-cell lineage/metrics rows (north_rule: per-partition lineage):
+    cell id, row count, data bbox, estimated tree depth."""
+    img = with_cell(with_coords(images), level)
+    return img.groupBy("cell_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.min("y").alias("min_y"),
+        F.max("x").alias("max_x"),
+        F.max("y").alias("max_y"),
+        F.ceil(F.log2(F.greatest(F.count("*") / 32.0, F.lit(1.0)))).alias(
+            "tree_depth"
+        ),
+    )

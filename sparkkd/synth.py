@@ -133,7 +133,7 @@ def gen_images(n: int, seed: int = 42) -> pa.Table:
 
 def expected_pixels(phash: int, w: int, h: int) -> np.ndarray:
     """Recompute the deterministic pattern for invariant checks."""
-    u = np.uint64(phash)
+    u = np.uint64(int(phash) & 0xFFFFFFFFFFFFFFFF)
     a = int((u >> np.uint64(20)) & np.uint64(0xFF))
     b = int((u >> np.uint64(28)) & np.uint64(0xFF))
     c = int((u >> np.uint64(36)) & np.uint64(0xFF))
