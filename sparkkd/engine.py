@@ -46,6 +46,13 @@ from . import cells, kernel
 SALT_SHIFT = 20  # part_key = cell_id << SALT_SHIFT | salt
 
 
+def _parallelism(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------- inputs
 
 
@@ -141,20 +148,38 @@ def _candidate_part_keys(stats: CellStats) -> pd.DataFrame:
 
 
 def _knn_candidates(
-    spark: SparkSession, queries: DataFrame, stats: CellStats, k: int
+    spark: SparkSession,
+    queries: DataFrame,
+    stats: CellStats,
+    k: int,
+    exclude_home: bool = False,
 ) -> DataFrame:
-    """queries (query_id, x, y) -> (query_id, x, y, part_key) candidate pairs.
+    """queries (query_id, x, y [, bound]) -> (query_id, x, y, cell_id)
+    candidate pairs.
 
     Vectorized cross-cell pruning (mapInPandas over query batches against
-    broadcast cell stats): for each query, cells sorted by bbox min-dist
-    are accumulated until their counts cover k; the max farthest-corner
-    distance over that prefix upper-bounds the kth-NN distance, and only
-    cells with min-dist <= bound become candidates.  This is the
-    cross-cell ``shouldTraverse`` (``src/_kdtree_median.hpp:136-138``).
+    broadcast cell stats).  The per-query admission bound is
+    ``min(count_bound, provided bound)`` where:
+
+    * count_bound: cells sorted by farthest-corner distance (dmax) are
+      accumulated until their counts cover k; the dmax at that point
+      upper-bounds the kth-NN distance (>= k points provably lie within
+      it) — computable from statistics alone;
+    * provided bound (optional ``bound`` column): the TRUE home-cell kth
+      distance from a phase-1 probe — usually far tighter.
+
+    Cells with min-dist <= bound become candidates — the cross-cell
+    ``shouldTraverse`` (``src/_kdtree_median.hpp:136-138``).  With
+    exclude_home=True the query's own cell is skipped (already probed).
     """
     bc = spark.sparkContext.broadcast(
         (stats.cell_ids, stats.counts, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
     )
+    has_bound = "bound" in queries.columns
+    # queries usually arrive as one small parquet file = ONE partition;
+    # spread the vectorized pruning work across the cluster first
+    queries = queries.repartition(_parallelism(spark))
+    level = stats.level
 
     def gen(batches):
         cell_ids, counts, mnx, mny, mxx, mxy = bc.value
@@ -164,24 +189,37 @@ def _knn_candidates(
                 continue
             qx = pdf["x"].to_numpy(np.float64)
             qy = pdf["y"].to_numpy(np.float64)
+            given = (
+                pdf["bound"].to_numpy(np.float64)
+                if has_bound
+                else np.full(len(pdf), np.inf)
+            )
+            home = cells.cell_id(qx, qy, level)
             chunk = max(64, 2_000_000 // max(C, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 px, py = qx[sl][:, None], qy[sl][:, None]
                 dmin = cells.bbox_min_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
-                dmax = cells.bbox_max_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
-                order = np.argsort(dmin, axis=1, kind="stable")
-                cum = np.cumsum(counts[order], axis=1)
-                need = np.argmax(cum >= k, axis=1)
-                enough = cum[:, -1] >= k
-                need = np.where(enough, need, C - 1)
-                run_max = np.maximum.accumulate(
-                    np.take_along_axis(dmax, order, axis=1), axis=1
-                )
-                bound = np.where(
-                    enough, run_max[np.arange(len(need)), need], np.inf
-                )
-                qi, ci = np.nonzero(dmin <= bound[:, None])
+                gb = given[sl]
+                need_count_bound = ~np.isfinite(gb)
+                if need_count_bound.any():
+                    dmax = cells.bbox_max_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
+                    order = np.argsort(dmax, axis=1, kind="stable")
+                    cum = np.cumsum(counts[order], axis=1)
+                    need = np.argmax(cum >= k, axis=1)
+                    enough = cum[:, -1] >= k
+                    need = np.where(enough, need, C - 1)
+                    rows = np.arange(len(need))
+                    cb = np.where(
+                        enough, np.take_along_axis(dmax, order, axis=1)[rows, need], np.inf
+                    )
+                    bound = np.where(need_count_bound, cb, gb)
+                else:
+                    bound = gb
+                adm = dmin <= bound[:, None]
+                if exclude_home:
+                    adm &= cell_ids[None, :] != home[sl][:, None]
+                qi, ci = np.nonzero(adm)
                 out = pdf.iloc[qi + c0][["query_id", "x", "y"]].copy()
                 out["cell_id"] = cell_ids[ci]
                 yield out
@@ -192,6 +230,36 @@ def _knn_candidates(
 
 
 # ---------------------------------------------------------------- kNN join
+
+
+def _make_knn_group(k: int):
+    """Cogroup kernel: build a k-d tree over the cell's images, run the
+    batched bounded kNN for the cell's candidate queries (ties broken by
+    image_id lexicographic rank so the global merge is deterministic)."""
+
+    def knn_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "image_id": [], "dist": []})
+        pts = np.column_stack(
+            [right["x"].to_numpy(np.float64), right["y"].to_numpy(np.float64)]
+        )
+        ids = right["image_id"].to_numpy()
+        tie = np.empty(len(ids), dtype=np.int64)
+        tie[np.argsort(ids)] = np.arange(len(ids))  # lexicographic rank
+        tree = kernel.build(pts)
+        qpts = np.column_stack(
+            [left["x"].to_numpy(np.float64), left["y"].to_numpy(np.float64)]
+        )
+        qi, idx, dist = kernel.knn(tree, qpts, k, tie_key=tie)
+        return pd.DataFrame(
+            {
+                "query_id": left["query_id"].to_numpy()[qi],
+                "image_id": ids[idx],
+                "dist": dist,
+            }
+        )
+
+    return knn_group
 
 
 def knn_join(
@@ -220,41 +288,57 @@ def knn_join(
     img = with_cell(img, level)
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
-
-    cand = _knn_candidates(spark, q, stats, k)
     part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
-    cand = cand.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+    knn_group = _make_knn_group(k)
+    schema = "query_id string, image_id string, dist double"
 
-    def knn_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "image_id": [], "dist": []})
-        pts = np.column_stack(
-            [right["x"].to_numpy(np.float64), right["y"].to_numpy(np.float64)]
-        )
-        ids = right["image_id"].to_numpy()
-        tie = np.empty(len(ids), dtype=np.int64)
-        tie[np.argsort(ids)] = np.arange(len(ids))  # lexicographic rank
-        tree = kernel.build(pts)
-        qpts = np.column_stack(
-            [left["x"].to_numpy(np.float64), left["y"].to_numpy(np.float64)]
-        )
-        qi, idx, dist = kernel.knn(tree, qpts, k, tie_key=tie)
-        return pd.DataFrame(
-            {
-                "query_id": left["query_id"].to_numpy()[qi],
-                "image_id": ids[idx],
-                "dist": dist,
-            }
-        )
-
-    per_cell = (
-        cand.groupby("part_key")
+    # ---- phase 1: probe each query's HOME cell (all salts of it) --------
+    # This is the first descent of the reference search: it yields a TRUE
+    # kth-distance bound per query, so phase 2 probes almost nothing.
+    q_home = with_cell(q, level, "x", "y")
+    p1_cand = q_home.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+    p1 = (
+        p1_cand.groupby("part_key")
         .cogroup(img_salted.groupby("part_key"))
-        .applyInPandas(knn_group, schema="query_id string, image_id string, dist double")
+        .applyInPandas(knn_group, schema=schema)
     )
     w = Window.partitionBy("query_id").orderBy("dist", "image_id")
+    p1_topk = p1.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # p1_topk feeds BOTH the bound computation and the final union; without
+    # materialization the cogroup UDF subtree executes 3x in the final plan
+    # (verified via explain("formatted")).  It is tiny (<= Q*k rows).
+    p1_topk = p1_topk.persist()
+    p1_topk.count()
+    # home-cell kth distance; only a valid pruning bound when the home cell
+    # held >= k points (otherwise inf -> phase 2 falls back to count bound)
+    bounds = p1_topk.groupBy("query_id").agg(
+        F.count("*").alias("cnt"), F.max("dist").alias("d_k")
+    )
+
+    # ---- phase 2: probe remaining cells within the bound ----------------
+    # Home is always excluded: phase 1 returned min(k, |home|) rows, which
+    # covers the home cell completely in both the cnt>=k and cnt<k cases.
+    q_b = (
+        q.join(bounds, "query_id", "left")
+        .withColumn(
+            "bound",
+            F.when(F.col("cnt") >= k, F.col("d_k")).otherwise(
+                F.lit(float("inf"))
+            ),
+        )
+        .select("query_id", "x", "y", "bound")
+    )
+    p2_cand = _knn_candidates(spark, q_b, stats, k, exclude_home=True)
+    p2_cand = p2_cand.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+    p2 = (
+        p2_cand.groupby("part_key")
+        .cogroup(img_salted.groupby("part_key"))
+        .applyInPandas(knn_group, schema=schema)
+    )
+
+    merged = p1_topk.select("query_id", "image_id", "dist").unionByName(p2)
     return (
-        per_cell.withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "image_id", "dist", F.col("rank").cast("int"))
     )
@@ -286,6 +370,7 @@ def radius_join(
     bc = spark.sparkContext.broadcast(
         (stats.cell_ids, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
     )
+    q = q.repartition(_parallelism(spark))
 
     def gen(batches):
         cell_ids, mnx, mny, mxx, mxy = bc.value

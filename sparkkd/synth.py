@@ -42,7 +42,9 @@ FMTS = ("raw", "bmp", "png")
 SF_SIZES = {
     "sf0.001": (2_000, 200),
     "sf0.01": (20_000, 2_000),
-    "sf0.1": (200_000, 10_000),
+    "sf0.1": (200_000, 50_000),
+    # scaling-evidence corpus: long enough runs to amortize host noise
+    "sf1": (1_000_000, 400_000),
 }
 
 FIXTURE_VERSION = 3  # bump to invalidate cached fixtures

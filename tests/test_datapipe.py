@@ -1,0 +1,157 @@
+"""Training-data pipeline ops: oracle checks for the non-SQL kernels
+(MinHash/SimHash/fingerprint/image-stats) + SQL-parity spot checks."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkkd import codec, datapipe, synth
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark, docs):
+    return docs.toPandas()
+
+
+def test_dedup_exact_finds_injected_dups(spark, docs):
+    doubled = docs.union(docs)
+    res = datapipe.dedup_exact(doubled).toPandas()
+    assert (res["n_dups"] == 2).all()
+    assert len(res) == docs.count()
+
+
+def test_ngram_jaccard_identical_docs_are_1(spark, docs):
+    from pyspark.sql import functions as F
+
+    clone = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    res = datapipe.ngram_jaccard_pairs(docs.union(clone), threshold=0.999).toPandas()
+    # every doc pairs with its clone at jacc == 1.0
+    exact = res[res["jacc"] == 1.0]
+    n = docs.count()
+    pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    assert all((i, i + 1_000_000) in pairs for i in range(min(n, 50)))
+
+
+def test_minhash_lsh_finds_near_dups_and_verifies_exactly(spark, docs, docs_pdf):
+    """LSH candidates verified by exact Jaccard: every reported pair's jacc
+    must equal the scalar-python Jaccard; injected clones must be found."""
+    from pyspark.sql import functions as F
+
+    clone = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    res = datapipe.minhash_lsh_pairs(docs.union(clone), threshold=0.9).toPandas()
+    found = set(zip(res["doc_a"], res["doc_b"]))
+    ids = docs_pdf["doc_id"].tolist()
+    hit = sum((i, i + 1_000_000) in found for i in ids)
+    assert hit >= 0.95 * len(ids)  # identical docs share all bands -> found
+    # verify reported jaccard values against a scalar oracle
+    texts = dict(zip(docs_pdf["doc_id"], docs_pdf["text"]))
+    texts.update({k + 1_000_000: v for k, v in texts.items()})
+
+    def jacc(a, b):
+        def sh(t):
+            toks = t.split(" ")
+            return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+        A, B = sh(texts[a]), sh(texts[b])
+        return round(len(A & B) / len(A | B), 6)
+
+    for _, r in res.head(50).iterrows():
+        assert r["jacc"] == jacc(r["doc_a"], r["doc_b"])
+
+
+def test_simhash_matches_scalar_oracle(spark, docs, docs_pdf):
+    res = datapipe.simhash64(docs).toPandas().set_index("doc_id")
+
+    def scalar_simhash(text):
+        votes = [0] * 64
+        toks = text.split(" ")
+        from collections import Counter
+
+        for tok, cnt in Counter(toks).items():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+            for b in range(64):
+                votes[b] += cnt if (h >> b) & 1 else -cnt
+        fp = sum(1 << b for b in range(64) if votes[b] > 0)
+        return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+    for _, row in docs_pdf.head(40).iterrows():
+        assert res.loc[row["doc_id"], "simhash"] == scalar_simhash(row["text"])
+
+
+def test_simhash_near_dup_property(spark, docs):
+    """SimHash of identical docs is identical (hamming 0)."""
+    a = datapipe.simhash64(docs).toPandas().sort_values("doc_id")
+    b = datapipe.simhash64(docs).toPandas().sort_values("doc_id")
+    assert np.array_equal(a["simhash"].to_numpy(), b["simhash"].to_numpy())
+
+
+def test_doc_fingerprint_matches_scalar_horner(spark, docs, docs_pdf):
+    res = datapipe.doc_fingerprint(docs).toPandas().set_index("doc_id")
+    for _, row in docs_pdf.head(40).iterrows():
+        h = 0
+        for ch in row["text"].encode("latin-1", "replace"):
+            h = (h * 131 + ch) % ((1 << 31) - 1)
+        assert res.loc[row["doc_id"], "fp"] == h
+
+
+def test_ann_cosine_topk_matches_numpy_oracle(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    res = datapipe.ann_cosine_topk(emb, k=5).toPandas()
+    pdf = emb.toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 6)
+    for qi in range(min(30, len(ids))):
+        s = S[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))[:5]
+        got = res[res["vec_id"] == ids[qi]].sort_values("rank")
+        assert got["neighbor_id"].tolist() == ids[order].tolist()
+
+
+def test_image_stats_matches_expected_pixels(spark, sf0001_fixtures):
+    images = spark.read.parquet(str(sf0001_fixtures / "images.parquet"))
+    res = datapipe.image_stats(images.limit(60)).toPandas()
+    src = images.limit(60).toPandas().set_index("image_id")
+    for _, r in res.iterrows():
+        want = synth.expected_pixels(src.loc[r["image_id"], "phash"], r["w"], r["h"])
+        m = want.reshape(-1, 3).mean(axis=0)
+        assert r["mean_r"] == round(float(m[0]), 6)
+        assert r["mean_g"] == round(float(m[1]), 6)
+
+
+def test_media_features_stub_and_fake(spark, sf0001_fixtures):
+    images = spark.read.parquet(str(sf0001_fixtures / "images.parquet")).limit(20)
+    # fake path: plumbing (schema, batching) is real
+    res = datapipe.media_features(images, "audio", fake=True).toPandas()
+    assert len(res) == 20
+    assert all(len(f) == 32 for f in res["features"])
+    # deterministic
+    res2 = datapipe.media_features(images, "audio", fake=True).toPandas()
+    a = res.sort_values("media_id").reset_index(drop=True)
+    b = res2.sort_values("media_id").reset_index(drop=True)
+    assert a.equals(b)
+    # stub raises cleanly when not faked
+    with pytest.raises(Exception, match="(?i)audio decoding|NotImplemented"):
+        datapipe.media_features(images, "audio", fake=False).toPandas()
+
+
+def test_lang_id_deterministic(spark, docs):
+    a = datapipe.lang_id_score(docs).toPandas().sort_values("doc_id")
+    b = datapipe.lang_id_score(docs).toPandas().sort_values("doc_id")
+    assert a.equals(b.reset_index(drop=True).set_index(a.index))
+    assert set(a["pred_lang"].unique()) <= {"en", "es", "de", "fr", "zh"}
