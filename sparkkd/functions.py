@@ -1,0 +1,189 @@
+"""Scalar / space function library (reference §2.3: F1-F11).
+
+The reference's metric-space abstractions re-expressed as (a) NumPy kernels
+for use inside Arrow UDFs, and (b) registrable Spark SQL column functions
+where the expression is SQL-native.  Citations are to /root/reference.
+
+Spaces covered:
+
+* L2 (fixed dim) — ``src/_spaces.hpp:58-64``
+* Bounded L2 — bounds validation ``src/_spaces.hpp:144-149``
+* SO(3) quaternion angular distance — ``src/_spaces.hpp:173-180``
+* Ratio/runtime-weighted — ``src/_spaces.hpp:273-277, 314-317``
+* Compound (sum of weighted sub-distances) — ``src/_spaces.hpp:369-375``
+
+SO(3) kNN reduction (the key trick, mirroring the reference's SO3RL space,
+``src/_so3rlspace.hpp:36-54``): for unit quaternions, ``a.b = 1 -
+|a-b|^2/2``, so ``angular(a,b) = arccos(|a.b|)`` is a strictly decreasing
+function of ``min(|a-b|, |a+b|)``.  Exact angular kNN therefore equals
+Euclidean R^4 kNN queried at both ``q`` and ``-q`` with the per-point best
+kept — which our L2 k-d kernel already answers exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernel
+
+# --------------------------------------------------------------------- L2
+
+
+def l2_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """F1: (a-b).norm()  (src/_spaces.hpp:58-64).  a, b: (..., d)."""
+    d = np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)
+    return np.sqrt((d * d).sum(axis=-1))
+
+
+def l2_interpolate(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
+    """F3: from + (to-from)*t  (src/_spaces.hpp:66-73)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    return a + (b - a) * (t[..., None] if t.ndim == a.ndim - 1 else t)
+
+
+def l2_is_valid(a: np.ndarray, bounds: np.ndarray | None = None) -> np.ndarray:
+    """F5: finite (+ in-bounds for BoundedL2Space, src/_spaces.hpp:144-149).
+
+    bounds: (d, 2) [min, max) rows or None."""
+    a = np.asarray(a, dtype=np.float64)
+    ok = np.isfinite(a).all(axis=-1)
+    if bounds is not None:
+        lo, hi = bounds[:, 0], bounds[:, 1]
+        ok &= ((a >= lo) & (a < hi)).all(axis=-1)
+    return ok
+
+
+# ------------------------------------------------------------------ SO(3)
+
+
+def so3_distance(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """F2: arccos(clamp(|q1.q2|)) in [0, pi/2]  (src/_spaces.hpp:173-180).
+    q: (..., 4) unit quaternions (w, x, y, z in any consistent order)."""
+    dot = np.abs((np.asarray(q1, np.float64) * np.asarray(q2, np.float64)).sum(axis=-1))
+    return np.arccos(np.clip(dot, -1.0, 1.0))
+
+
+def so3_is_valid(q: np.ndarray, tol: float = 1e-5) -> np.ndarray:
+    """F5 (SO3): unit norm within tol (src/_spaces.hpp:168-171)."""
+    n = np.sqrt((np.asarray(q, np.float64) ** 2).sum(axis=-1))
+    return np.abs(n - 1.0) < tol
+
+
+def so3_interpolate(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
+    """F4: shortest-arc slerp with sign flip for dq<0
+    (src/_spaces.hpp:182-201).  Vectorized over leading dims."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64).copy()
+    t = np.asarray(t, np.float64)
+    dot = (a * b).sum(axis=-1)
+    flip = dot < 0
+    b[flip] = -b[flip]
+    dot = np.abs(np.clip(dot, -1.0, 1.0))
+    theta = np.arccos(dot)
+    small = theta < 1e-9
+    st = np.where(small, 1.0, np.sin(theta))
+    w1 = np.where(small, 1.0 - t, np.sin((1.0 - t) * theta) / st)
+    w2 = np.where(small, t, np.sin(t * theta) / st)
+    out = a * w1[..., None] + b * w2[..., None]
+    return out / np.sqrt((out * out).sum(axis=-1, keepdims=True))
+
+
+def so3_volume_index(q: np.ndarray) -> np.ndarray:
+    """F8: argmax of |coeffs| -> which of 4 hemispherical volumes
+    (src/_so3space.hpp:36-46) — the reference's coarse partition function;
+    our geo engine's cell-assignment analogue."""
+    return np.abs(np.asarray(q, np.float64)).argmax(axis=-1)
+
+
+def so3_knn(
+    points_q: np.ndarray, queries_q: np.ndarray, k: int, tie_key: np.ndarray | None = None
+):
+    """Exact angular kNN over quaternions via the R^4 antipodal reduction
+    (module docstring; reference src/_so3rlspace.hpp:109-151).
+
+    Returns (qi, idx, angular_dist) like kernel.knn."""
+    P = np.asarray(points_q, np.float64)
+    Q = np.asarray(queries_q, np.float64)
+    tree = kernel.build(P)
+    nq = len(Q)
+    both = np.vstack([Q, -Q])  # query q and -q
+    qi, idx, dist = kernel.knn(tree, both, k, tie_key=tie_key)
+    qi = qi % nq  # fold the mirrored queries back
+    # angular = arccos(1 - e^2/2) on the euclidean candidate distance
+    ang = np.arccos(np.clip(1.0 - dist * dist / 2.0, -1.0, 1.0))
+    # exact top-k per query by (angular, tie) over the 2k merged candidates,
+    # deduping antipodal double-hits of the same point
+    if tie_key is None:
+        tie = idx
+    else:
+        tie = np.asarray(tie_key, np.int64)[idx]
+    order = np.lexsort((tie, ang, qi))
+    qi, idx, ang = qi[order], idx[order], ang[order]
+    # dedupe (qi, idx) — a point can be hit via both q and -q; keep the
+    # first occurrence (smallest angular, thanks to the sort above)
+    key = qi * np.int64(P.shape[0] + 1) + idx
+    srt = np.argsort(key, kind="stable")
+    dup = np.zeros(len(key), dtype=bool)
+    dup[srt[1:]] = key[srt[1:]] == key[srt[:-1]]
+    keep = ~dup
+    qi, idx, ang = qi[keep], idx[keep], ang[keep]
+    first = np.searchsorted(qi, np.arange(nq))
+    rank = np.arange(len(qi)) - first[qi]
+    sel = rank < k
+    return qi[sel], idx[sel], ang[sel]
+
+
+# ------------------------------------------------- weighted / compound
+
+
+def weighted_distance(dist: np.ndarray, weight: float) -> np.ndarray:
+    """F6: sub_distance * weight (ratio or runtime weight,
+    src/_spaces.hpp:273-277, 314-317)."""
+    return np.asarray(dist, np.float64) * float(weight)
+
+
+def compound_distance(*weighted_dists: np.ndarray) -> np.ndarray:
+    """F7: sum of (already weighted) sub-space distances
+    (src/_spaces.hpp:369-375)."""
+    out = np.zeros_like(np.asarray(weighted_dists[0], np.float64))
+    for d in weighted_dists:
+        out = out + np.asarray(d, np.float64)
+    return out
+
+
+def se3_distance(
+    q1: np.ndarray, t1: np.ndarray, q2: np.ndarray, t2: np.ndarray,
+    rot_weight: float = 1.0, trans_weight: float = 1.0,
+) -> np.ndarray:
+    """SE(3) = weighted SO(3) + weighted L2(3) compound
+    (src/_spaces.hpp:413-421)."""
+    return compound_distance(
+        weighted_distance(so3_distance(q1, q2), rot_weight),
+        weighted_distance(l2_distance(t1, t2), trans_weight),
+    )
+
+
+# ------------------------------------------------------------- bit tricks
+
+
+def log2_floor(n: np.ndarray) -> np.ndarray:
+    """F11: floor(log2(n)) — the reference uses clz bit tricks for its
+    logarithmic-rebuild forest (src/_kdtree_base.hpp:92-107); vectorized
+    here via frexp (exact for n < 2^53)."""
+    n = np.asarray(n, dtype=np.int64)
+    _, e = np.frexp(n.astype(np.float64))
+    return (e - 1).astype(np.int64)
+
+
+def register_sql_functions(spark) -> None:
+    """Optional SQL surface: register the scalar functions for spark.sql
+    use (haversine + cell id come from sparkkd.cells as pure SQL strings)."""
+    from pyspark.sql import functions as F  # noqa: F401 (documentational)
+
+    spark.udf.register(
+        "sparkkd_so3_distance",
+        lambda a, b: float(so3_distance(np.array(a), np.array(b))),
+        "double",
+    )

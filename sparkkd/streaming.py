@@ -1,0 +1,117 @@
+"""Structured Streaming ingestion: the distributed dynamic-insert path.
+
+The reference's ``add()`` appends a value and amortizes index maintenance
+(logarithmic rebuild of the trailing power-of-2 block,
+``src/_kdtree_median.hpp:433-441``; queries scan a forest of trees plus a
+linear tail ``:394-407``).  The streaming twin:
+
+* micro-batches of new image rows arrive via ``readStream`` (file source
+  here; kafka in production — same code from ``foreachBatch`` down);
+* each batch is a log-structured ``SnapshotStore.append`` (new immutable
+  snapshot = parent files + delta files; readers see base ∪ deltas — the
+  forest);
+* the batch's DIRTY CELLS are recorded in the snapshot manifest, so
+  downstream index maintenance rebuilds per-cell trees only where data
+  changed;
+* compaction fires on the same doubling rule as the reference's rebuild.
+
+Also provides a windowed event-rate aggregation (watermark + tumbling
+window) over the ``events`` table shape, demonstrating the
+late-data-tolerant streaming aggregation pattern.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, engine
+from .snapshots import SnapshotStore
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string,"
+    " caption string, phash long"
+)
+
+
+def dirty_cells(batch: DataFrame, level: int) -> list[int]:
+    """Cells touched by a micro-batch (drives selective tree rebuilds)."""
+    rows = (
+        engine.with_cell(engine.with_coords(batch), level)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["cell_id"] for r in rows)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store: SnapshotStore,
+    level: int,
+    checkpoint_dir: str,
+    compact: bool = True,
+):
+    """File-source streaming ingest -> snapshot append per micro-batch.
+
+    Returns the StreamingQuery; callers use availableNow-style draining
+    (``q.processAllAvailable()``) in tests.  Exactly-once: the snapshot
+    append is idempotent per epoch via the epoch marker in the manifest —
+    a replayed epoch (restart after crash between append and checkpoint
+    commit) is skipped.
+    """
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # idempotence across restarts: skip epochs already ingested
+        last = store.latest_snapshot_id()
+        if last is not None:
+            man = store.manifest(last)
+            done = man.get("epochs", [])
+            if epoch_id in done:
+                return
+        dirty = dirty_cells(batch, level)
+        snap_id = store.append(batch)
+        man_path = store._manifest_path(snap_id)
+        man = json.loads(man_path.read_text())
+        prev = store.manifest(snap_id - 1).get("epochs", []) if snap_id > 1 else []
+        man["epochs"] = prev + [epoch_id]
+        man["dirty_cells"] = dirty
+        man_path.write_text(json.dumps(man, indent=1))
+        if compact and store.needs_compaction():
+            store.compact(spark)
+
+    stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
+def windowed_event_rates(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Late-data-tolerant windowed aggregation over the events stream shape
+    (event_id, ts, user_id, event_type, value, props): count + sum(value)
+    per (window, event_type).  Works on both a static DataFrame (tests,
+    oracle comparison) and a readStream DataFrame (production)."""
+    # parquet timestamp[us] arrives as TIMESTAMP_NTZ; watermarks need
+    # TIMESTAMP — cast in both modes so batch oracle and stream agree
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(F.window("ts", window).alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    ).select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -1,0 +1,140 @@
+"""Streaming ingest: micro-batch append -> snapshot forest, dirty cells,
+idempotent restart; windowed event aggregation vs batch oracle."""
+
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+from sparkkd import streaming, synth
+from sparkkd.snapshots import SnapshotStore
+
+pytestmark = pytest.mark.spark
+
+
+def _write_batch(dirpath, n, seed, name):
+    t = synth.gen_images(n, seed=seed)
+    pq.write_table(t, dirpath / name)
+
+
+def test_stream_ingest_appends_snapshots(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = SnapshotStore(tmp_path / "snap")
+    _write_batch(src, 120, 42, "b1.parquet")
+
+    q = streaming.stream_ingest(
+        spark, str(src), store, level=5, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        sid1 = store.latest_snapshot_id()
+        assert sid1 is not None
+        assert store.read(spark).count() == 120
+
+        _write_batch(src, 80, 43, "b2.parquet")
+        q.processAllAvailable()
+        assert store.read(spark).count() == 200
+        man = store.manifest()
+        assert man["dirty_cells"] or man["operation"] == "compact"
+    finally:
+        q.stop()
+
+    # restart with same checkpoint: no reprocessing, counts stable
+    q2 = streaming.stream_ingest(
+        spark, str(src), store, level=5, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q2.processAllAvailable()
+        assert store.read(spark).count() == 200
+    finally:
+        q2.stop()
+
+
+def test_dirty_cells_tracked(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    store = SnapshotStore(tmp_path / "snap2")
+    _write_batch(src, 60, 44, "b1.parquet")
+    q = streaming.stream_ingest(
+        spark,
+        str(src),
+        store,
+        level=5,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        compact=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    man = store.manifest()
+    batch = spark.read.parquet(str(src / "b1.parquet"))
+    assert man["dirty_cells"] == streaming.dirty_cells(batch, 5)
+    assert len(man["dirty_cells"]) > 0
+
+
+def test_windowed_event_rates_matches_batch_oracle(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        streaming.windowed_event_rates(events, window="5 minutes")
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    events.createOrReplaceTempView("ev")
+    want = (
+        spark.sql(
+            """
+        SELECT window(ts, '5 minutes').start AS win_start,
+               window(ts, '5 minutes').end AS win_end,
+               event_type, count(*) AS n_events, sum(value) AS total_value
+        FROM ev GROUP BY window(ts, '5 minutes'), event_type
+        """
+        )
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) > 0
+
+
+def test_windowed_event_rates_streaming_mode(spark, tmp_path):
+    """Drive the same aggregation through an actual streaming query
+    (file source -> memory sink) and reconcile with the batch result."""
+    import shutil
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(events_path, src / "events.parquet")  # file source needs a dir
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = streaming.windowed_event_rates(stream, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("winagg")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.sql("SELECT * FROM winagg")
+            .toPandas()
+            .sort_values(["win_start", "event_type"])
+            .reset_index(drop=True)
+        )
+    finally:
+        q.stop()
+    batch = (
+        streaming.windowed_event_rates(
+            spark.read.parquet(events_path), window="5 minutes"
+        )
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch)
