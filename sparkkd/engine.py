@@ -279,9 +279,6 @@ def knn_join(
     single query to a query table.
     """
     img = with_coords(images).select("image_id", "x", "y")
-    q = queries.select(
-        "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
-    )
     if level is None:
         n = n_images_hint if n_images_hint is not None else img.count()
         level = cells.level_for_count(n)
@@ -289,6 +286,21 @@ def knn_join(
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
     part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
+    return _knn_join_on_index(spark, img_salted, stats, part_keys, queries, k)
+
+
+def _knn_join_on_index(
+    spark: SparkSession,
+    img_salted: DataFrame,
+    stats: CellStats,
+    part_keys: DataFrame,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
+    q = queries.select(
+        "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
+    )
+    level = stats.level
     knn_group = _make_knn_group(k)
     schema = "query_id string, image_id string, dist double"
 
@@ -344,6 +356,78 @@ def knn_join(
     )
 
 
+# ------------------------------------------------------------- GeoIndex
+
+
+class GeoIndex:
+    """Build-once / query-many index over an image corpus — the API shape
+    of the reference (construct ``KDTree`` once, call ``nearest`` many
+    times, ``src/_kdtree_base.hpp:38-55``), distributed.
+
+    The salted, cell-keyed projection of the corpus is persisted so repeated
+    query batches skip the scan + stats + salt join; each query batch still
+    pays one cogroup shuffle (at warehouse scale the projection would be
+    bucket-stored instead — see PLANS.md).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        images: DataFrame,
+        level: int | None = None,
+        max_cell_rows: int = 8192,
+        n_images_hint: int | None = None,
+    ):
+        self.spark = spark
+        img = with_coords(images).select("image_id", "x", "y")
+        if level is None:
+            n = n_images_hint if n_images_hint is not None else img.count()
+            level = cells.level_for_count(n)
+        self.level = level
+        self.img = with_cell(img, level)
+        self.stats = collect_cell_stats(self.img, level, max_cell_rows)
+        self.img_salted = _salted_images(spark, self.img, self.stats).persist()
+        self.img_salted.count()  # materialize
+        self.part_keys = F.broadcast(
+            spark.createDataFrame(_candidate_part_keys(self.stats))
+        )
+
+    @property
+    def n_rows(self) -> int:
+        return self.stats.total
+
+    def lineage(self) -> DataFrame:
+        """Per-cell lineage metrics (cell id, count, bbox, depth)."""
+        return self.img.groupBy("cell_id").agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.min("y").alias("min_y"),
+            F.max("x").alias("max_x"),
+            F.max("y").alias("max_y"),
+        )
+
+    def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
+        return _knn_join_on_index(
+            self.spark, self.img_salted, self.stats, self.part_keys, queries, k
+        )
+
+    def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
+        return _radius_join_on_index(
+            self.spark, self.img_salted, self.stats, self.part_keys, queries, r
+        )
+
+    def nearest(self, qlat: float, qlon: float, k: int = 1):
+        """Single-point convenience (the reference's ``nearest``): returns
+        list of Rows (image_id, dist, rank)."""
+        q = self.spark.createDataFrame(
+            pd.DataFrame({"query_id": ["q0"], "qlat": [qlat], "qlon": [qlon]})
+        )
+        return self.knn_join(q, k=k).select("image_id", "dist", "rank").collect()
+
+    def unpersist(self) -> None:
+        self.img_salted.unpersist()
+
+
 # ------------------------------------------------------------- radius join
 
 
@@ -359,14 +443,25 @@ def radius_join(
     """All (query, image) pairs with planar L2 distance <= r (reference Q3:
     kNN entry with finite maxRadius, ``src/_kdtree_median.hpp:131-137``)."""
     img = with_coords(images).select("image_id", "x", "y")
-    q = queries.select("query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y"))
     if level is None:
         n = n_images_hint if n_images_hint is not None else img.count()
         level = cells.level_for_count(n)
     img = with_cell(img, level)
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
+    part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
+    return _radius_join_on_index(spark, img_salted, stats, part_keys, queries, r)
 
+
+def _radius_join_on_index(
+    spark: SparkSession,
+    img_salted: DataFrame,
+    stats: CellStats,
+    part_keys: DataFrame,
+    queries: DataFrame,
+    r: float,
+) -> DataFrame:
+    q = queries.select("query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y"))
     bc = spark.sparkContext.broadcast(
         (stats.cell_ids, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
     )
@@ -393,7 +488,6 @@ def radius_join(
                 yield out
 
     cand = q.mapInPandas(gen, schema="query_id string, x double, y double, cell_id long")
-    part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
     cand = cand.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
 
     def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
