@@ -215,6 +215,62 @@ def minhash_lsh_pairs(
     )
 
 
+# ------------------------------------------- dedup: exact Hamming banding
+
+
+def phash_near_dup(images: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """EXACT near-duplicate image pairs by Hamming distance on the 64-bit
+    perceptual hash: all (a, b) with ``popcount(phash_a XOR phash_b) <=
+    max_hamming``, a < b by image_id.
+
+    Pigeonhole banding makes this exact WITHOUT a cross join: split the 64
+    bits into ``max_hamming + 1`` bands — two hashes within distance t must
+    agree on at least one band (t flipped bits cannot touch all t+1 bands).
+    Candidates come from per-band equi-joins (co-partitioned shuffle
+    joins), then the exact popcount filter runs as a built-in expression.
+    This is the standard scalable simhash/phash dedup pattern.
+
+    Output (id_a, id_b, hamming), hamming as int."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    # band b = bits [b*width, (b+1)*width) (remainder bits join the last
+    # band — any contiguous partition works for the pigeonhole argument)
+    exprs = []
+    for b in range(bands):
+        lo = b * width
+        if b < bands - 1:
+            mask = (1 << width) - 1
+            key = f"shiftrightunsigned(phash, {lo}) & {mask}"
+        else:  # last band reaches bit 63: the logical shift IS the mask
+            key = f"shiftrightunsigned(phash, {lo})"
+        exprs.append(f"struct({b} AS band, {key} AS key)")
+    banded = images.select(
+        F.col("image_id"),
+        F.col("phash"),
+        F.explode(F.expr(f"array({', '.join(exprs)})")).alias("e"),
+    ).select("image_id", "phash", "e.band", "e.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # popcount filter BEFORE distinct: candidates are band-join-sized (can
+    # be millions) while survivors are few — dedupe only the survivors
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .select("id_a", "id_b", F.col("hamming").cast("int"))
+    )
+
+
 # --------------------------------------------------------- dedup: SimHash
 
 

@@ -1,0 +1,59 @@
+"""Exact banded-Hamming phash near-dup join vs brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkkd import datapipe
+
+pytestmark = pytest.mark.spark
+
+
+def _img_df(spark, phashes, ids=None):
+    ids = ids or [f"img{i:08d}" for i in range(len(phashes))]
+    return spark.createDataFrame(
+        pd.DataFrame({"image_id": ids, "phash": np.array(phashes, dtype=np.int64)})
+    )
+
+
+def _brute(phashes, ids, t):
+    out = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                h = bin((int(phashes[i]) ^ int(phashes[j])) & (2**64 - 1)).count("1")
+                if h <= t:
+                    out.append((ids[i], ids[j], h))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("t", [0, 4, 8, 15])
+def test_banded_hamming_exact(spark, t):
+    rng = np.random.default_rng(30)
+    base = rng.integers(-(2**62), 2**62, 60, dtype=np.int64)
+    # inject controlled near-dups: flip 1..t+2 random bits of some bases
+    phashes = list(base)
+    for i in range(20):
+        flips = rng.integers(0, 64, rng.integers(0, t + 3))
+        v = int(base[i]) & (2**64 - 1)
+        for f in flips:
+            v ^= 1 << int(f)
+        phashes.append(np.int64(v - 2**64 if v >= 2**63 else v))
+    ids = [f"img{i:08d}" for i in range(len(phashes))]
+    got = (
+        datapipe.phash_near_dup(_img_df(spark, phashes, ids), max_hamming=t)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = _brute(phashes, ids, t)
+    assert list(map(tuple, got.to_numpy())) == want
+    if t >= 4:
+        assert len(want) > 0  # fixture actually exercises the op
+
+
+def test_exact_duplicates_found(spark):
+    ph = [123456789, 123456789, -987654321, -987654321, 42]
+    got = datapipe.phash_near_dup(_img_df(spark, ph), max_hamming=0).toPandas()
+    assert len(got) == 2
+    assert (got["hamming"] == 0).all()
