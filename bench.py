@@ -27,9 +27,18 @@ def build_session(cpus: int):
 
     disable_thp()  # THP compaction stalls dominate runtime in this VM
 
+    import pathlib
+
+    # shuffle through tmpfs: /tmp sits on a slow virtio disk that serializes
+    # shuffle I/O regardless of core count; a real cluster scales disks with
+    # executors, so RAM-backed local dirs are the honest local-mode analogue
+    shm = pathlib.Path("/dev/shm/sparkkd-local")
+    shm.mkdir(parents=True, exist_ok=True)
+
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sparkkd-bench")
+        .config("spark.local.dir", str(shm))
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from . import cells, kernel
 
-SALT_SHIFT = 20  # part_key = cell_id << SALT_SHIFT | salt
+# key encoding: key = (level << LEVEL_SHIFT) | cell_id  (cell_id < 4^level
+# needs 2*level bits; level <= 19 fits well under 2^40);
+# part_key = key << SALT_SHIFT | salt (hash-salt fallback for duplicates)
+LEVEL_SHIFT = 40
+SALT_SHIFT = 12
+MAX_LEVEL = 19
 
 
 def _parallelism(spark: SparkSession) -> int:
@@ -73,28 +78,99 @@ def with_cell(df: DataFrame, level: int, x: str = "x", y: str = "y") -> DataFram
 
 @dataclass
 class CellStats:
-    """Driver-side pruning statistics: one row per occupied cell."""
+    """Driver-side pruning statistics: one row per occupied (possibly
+    refined) cell.  Keys encode ``(level << LEVEL_SHIFT) | cell_id`` so a
+    mix of base-level cold cells and fine-level refined cells coexists.
 
-    cell_ids: np.ndarray  # (C,) int64 sorted
+    Skew handling is two-tier (north_rule: explicit):
+
+    1. **Spatial refinement** (primary — the distributed twin of the
+       reference's adaptive tree depth, deeper where denser): base cells
+       holding more than ``max_cell_rows`` rows are re-keyed at a finer
+       level, so hot-region queries probe only NEARBY sub-cells instead of
+       fanning out to every hash shard of a giant cell.
+    2. **Hash salting** (fallback for point-mass duplicates that no spatial
+       split can separate): a still-hot refined cell is split into
+       ``ceil(count/max_cell_rows)`` salts; candidates replicate to all
+       salts of that cell only.
+    """
+
+    keys: np.ndarray  # (C,) int64 sorted encoded keys
     counts: np.ndarray  # (C,) int64
     min_x: np.ndarray
     min_y: np.ndarray
     max_x: np.ndarray
     max_y: np.ndarray
-    salt_n: np.ndarray  # (C,) int64 number of salts per cell
-    level: int
+    salt_n: np.ndarray  # (C,) int64 hash-salt fan-out per cell
+    level: int  # base level
+    # refinement schedule: list of (from_level, to_level, hot_cell_ids) —
+    # a point's key descends through every matching refinement step
+    refinements: list[tuple[int, int, np.ndarray]]
 
     @property
     def total(self) -> int:
         return int(self.counts.sum())
 
+    @property
+    def fine_level(self) -> int:
+        return self.refinements[-1][1] if self.refinements else self.level
+
+    def key_sql(self, x_expr: str, y_expr: str) -> str:
+        """SQL for the encoded key of a point: start at the base level and
+        descend through each refinement step whose hot set contains the
+        point's cell at that step's source level (recursive quadtree
+        descent, rendered as a nested CASE)."""
+
+        def key_at(lvl: int) -> str:
+            c = cells.cell_id_sql(x_expr, y_expr, lvl)
+            return f"(CAST({lvl} AS BIGINT) << {LEVEL_SHIFT}) + {c}"
+
+        expr = key_at(self.level)
+        for from_lvl, to_lvl, hot in self.refinements:
+            hot_list = ", ".join(str(int(c)) for c in hot)
+            cond = f"{cells.cell_id_sql(x_expr, y_expr, from_lvl)} IN ({hot_list})"
+            expr = f"(CASE WHEN {cond} THEN {key_at(to_lvl)} ELSE {expr} END)"
+        return expr
+
 
 def collect_cell_stats(
-    img: DataFrame, level: int, max_cell_rows: int = 8192
+    img: DataFrame, level: int, max_cell_rows: int = 8192, max_hot_cells: int = 4096
 ) -> CellStats:
-    """One map-side-combined aggregation; result is small (occupied cells)."""
+    """Iterative spatial refinement: count cells at the base level, refine
+    hot ones 3 levels deeper (64x smaller), re-count ONLY within the hot
+    regions, repeat until nothing is hot or MAX_LEVEL is reached (point-mass
+    duplicates beyond that fall back to hash salting).  Each iteration is
+    one small map-side-combined aggregation over the still-hot subset."""
+    refinements: list[tuple[int, int, np.ndarray]] = []
+    cur_level = level
+    scope = img  # rows still subject to refinement checks
+    while True:
+        counts_pdf = (
+            scope.groupBy(
+                F.expr(cells.cell_id_sql("x", "y", cur_level)).alias("c")
+            )
+            .count()
+            .toPandas()
+        )
+        hot = counts_pdf[counts_pdf["count"] > max_cell_rows]
+        if len(hot) == 0 or cur_level >= MAX_LEVEL or len(hot) > max_hot_cells:
+            break
+        next_level = min(cur_level + 3, MAX_LEVEL)
+        hot_ids = np.sort(hot["c"].to_numpy(np.int64))
+        refinements.append((cur_level, next_level, hot_ids))
+        hot_list = ", ".join(str(int(c)) for c in hot_ids)
+        scope = scope.filter(
+            F.expr(f"{cells.cell_id_sql('x', 'y', cur_level)} IN ({hot_list})")
+        )
+        cur_level = next_level
+
+    probe = CellStats(
+        keys=np.empty(0, np.int64), counts=np.empty(0, np.int64),
+        min_x=np.empty(0), min_y=np.empty(0), max_x=np.empty(0), max_y=np.empty(0),
+        salt_n=np.empty(0, np.int64), level=level, refinements=refinements,
+    )
     pdf = (
-        img.groupBy("cell_id")
+        img.groupBy(F.expr(probe.key_sql("x", "y")).alias("key"))
         .agg(
             F.count("*").alias("cnt"),
             F.min("x").alias("min_x"),
@@ -103,11 +179,11 @@ def collect_cell_stats(
             F.max("y").alias("max_y"),
         )
         .toPandas()
-        .sort_values("cell_id")
+        .sort_values("key")
     )
     counts = pdf["cnt"].to_numpy(np.int64)
     return CellStats(
-        cell_ids=pdf["cell_id"].to_numpy(np.int64),
+        keys=pdf["key"].to_numpy(np.int64),
         counts=counts,
         min_x=pdf["min_x"].to_numpy(np.float64),
         min_y=pdf["min_y"].to_numpy(np.float64),
@@ -115,33 +191,36 @@ def collect_cell_stats(
         max_y=pdf["max_y"].to_numpy(np.float64),
         salt_n=np.maximum(1, -(-counts // max_cell_rows)).astype(np.int64),
         level=level,
+        refinements=refinements,
     )
 
 
 def _salted_images(spark: SparkSession, img: DataFrame, stats: CellStats) -> DataFrame:
-    """Attach part_key = cell_id<<20 | salt; salt = pmod(xxhash64(id), n)."""
+    """Attach part_key = key<<SALT_SHIFT | salt; salt = pmod(xxhash64(id), n)."""
     salt_df = F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame(
-                {"cell_id": stats.cell_ids, "salt_n": stats.salt_n}
-            )
+            pd.DataFrame({"key": stats.keys, "salt_n": stats.salt_n})
         )
     )
-    return img.join(salt_df, "cell_id").withColumn(
-        "part_key",
-        (F.col("cell_id") * (1 << SALT_SHIFT))
-        + F.pmod(F.xxhash64("image_id"), F.col("salt_n")),
+    return (
+        img.withColumn("key", F.expr(stats.key_sql("x", "y")))
+        .join(salt_df, "key")
+        .withColumn(
+            "part_key",
+            (F.col("key") * (1 << SALT_SHIFT))
+            + F.pmod(F.xxhash64("image_id"), F.col("salt_n")),
+        )
     )
 
 
 def _candidate_part_keys(stats: CellStats) -> pd.DataFrame:
-    """(cell_id, part_key) exploded over salts — broadcast-joined to
-    candidates so a probed cell probes ALL of its salted sub-trees."""
+    """(key, part_key) exploded over salts — broadcast-joined to candidates
+    so a probed cell probes ALL of its salted sub-trees."""
     reps = stats.salt_n
-    cell = np.repeat(stats.cell_ids, reps)
+    key = np.repeat(stats.keys, reps)
     off = np.concatenate([[0], np.cumsum(reps)[:-1]])
     salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
-    return pd.DataFrame({"cell_id": cell, "part_key": (cell << SALT_SHIFT) + salt})
+    return pd.DataFrame({"key": key, "part_key": (key << SALT_SHIFT) + salt})
 
 
 # ------------------------------------------------------- candidate pruning
@@ -153,6 +232,7 @@ def _knn_candidates(
     stats: CellStats,
     k: int,
     exclude_home: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """queries (query_id, x, y [, bound]) -> (query_id, x, y, cell_id)
     candidate pairs.
@@ -170,20 +250,22 @@ def _knn_candidates(
 
     Cells with min-dist <= bound become candidates — the cross-cell
     ``shouldTraverse`` (``src/_kdtree_median.hpp:136-138``).  With
-    exclude_home=True the query's own cell is skipped (already probed).
+    exclude_home=True the query's own cell (its ``home_key`` column) is
+    skipped — it was already fully probed in phase 1.
     """
     bc = spark.sparkContext.broadcast(
-        (stats.cell_ids, stats.counts, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
+        (stats.keys, stats.counts, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
     )
     has_bound = "bound" in queries.columns
-    # queries usually arrive as one small parquet file = ONE partition;
-    # spread the vectorized pruning work across the cluster first
-    queries = queries.repartition(_parallelism(spark))
-    level = stats.level
+    if spread:
+        # queries usually arrive as one small parquet file = ONE partition;
+        # spread the vectorized pruning work across the cluster first
+        # (spread=False when the input already comes out of a shuffle)
+        queries = queries.repartition(_parallelism(spark))
 
     def gen(batches):
-        cell_ids, counts, mnx, mny, mxx, mxy = bc.value
-        C = len(cell_ids)
+        keys, counts, mnx, mny, mxx, mxy = bc.value
+        C = len(keys)
         for pdf in batches:
             if len(pdf) == 0 or C == 0:
                 continue
@@ -194,16 +276,25 @@ def _knn_candidates(
                 if has_bound
                 else np.full(len(pdf), np.inf)
             )
-            home = cells.cell_id(qx, qy, level)
+            home = (
+                pdf["home_key"].to_numpy(np.int64)
+                if exclude_home
+                else None
+            )
             chunk = max(64, 2_000_000 // max(C, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 px, py = qx[sl][:, None], qy[sl][:, None]
                 dmin = cells.bbox_min_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
                 gb = given[sl]
-                need_count_bound = ~np.isfinite(gb)
-                if need_count_bound.any():
-                    dmax = cells.bbox_max_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
+                bound = gb.copy()
+                nb = np.nonzero(~np.isfinite(gb))[0]
+                if len(nb) > 0:
+                    # count-bound only for the (few) rows lacking a phase-1
+                    # bound — never the whole chunk
+                    dmax = cells.bbox_max_dist(
+                        px[nb], py[nb], mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :]
+                    )
                     order = np.argsort(dmax, axis=1, kind="stable")
                     cum = np.cumsum(counts[order], axis=1)
                     need = np.argmax(cum >= k, axis=1)
@@ -213,33 +304,36 @@ def _knn_candidates(
                     cb = np.where(
                         enough, np.take_along_axis(dmax, order, axis=1)[rows, need], np.inf
                     )
-                    bound = np.where(need_count_bound, cb, gb)
-                else:
-                    bound = gb
+                    bound[nb] = cb
                 adm = dmin <= bound[:, None]
-                if exclude_home:
-                    adm &= cell_ids[None, :] != home[sl][:, None]
+                if home is not None:
+                    adm &= keys[None, :] != home[sl][:, None]
                 qi, ci = np.nonzero(adm)
                 out = pdf.iloc[qi + c0][["query_id", "x", "y"]].copy()
-                out["cell_id"] = cell_ids[ci]
+                out["key"] = keys[ci]
                 yield out
 
     return queries.mapInPandas(
-        gen, schema="query_id string, x double, y double, cell_id long"
+        gen, schema="query_id string, x double, y double, key long"
     )
 
 
 # ---------------------------------------------------------------- kNN join
 
 
-def _make_knn_group(k: int):
+def _make_knn_group(k: int, carry_xy: bool = False):
     """Cogroup kernel: build a k-d tree over the cell's images, run the
     batched bounded kNN for the cell's candidate queries (ties broken by
-    image_id lexicographic rank so the global merge is deterministic)."""
+    image_id lexicographic rank so the global merge is deterministic).
+    carry_xy=True passes the query coordinates through (lets phase 2 derive
+    its inputs from phase-1 output without re-joining the query table)."""
 
     def knn_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = {"query_id": [], "image_id": [], "dist": []}
+        if carry_xy:
+            cols.update({"x": [], "y": []})
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "image_id": [], "dist": []})
+            return pd.DataFrame(cols)
         pts = np.column_stack(
             [right["x"].to_numpy(np.float64), right["y"].to_numpy(np.float64)]
         )
@@ -251,13 +345,15 @@ def _make_knn_group(k: int):
             [left["x"].to_numpy(np.float64), left["y"].to_numpy(np.float64)]
         )
         qi, idx, dist = kernel.knn(tree, qpts, k, tie_key=tie)
-        return pd.DataFrame(
-            {
-                "query_id": left["query_id"].to_numpy()[qi],
-                "image_id": ids[idx],
-                "dist": dist,
-            }
-        )
+        out = {
+            "query_id": left["query_id"].to_numpy()[qi],
+            "image_id": ids[idx],
+            "dist": dist,
+        }
+        if carry_xy:
+            out["x"] = qpts[qi, 0]
+            out["y"] = qpts[qi, 1]
+        return pd.DataFrame(out)
 
     return knn_group
 
@@ -282,7 +378,6 @@ def knn_join(
     if level is None:
         n = n_images_hint if n_images_hint is not None else img.count()
         level = cells.level_for_count(n)
-    img = with_cell(img, level)
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
     part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
@@ -300,60 +395,100 @@ def _knn_join_on_index(
     q = queries.select(
         "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
     )
-    level = stats.level
-    knn_group = _make_knn_group(k)
     schema = "query_id string, image_id string, dist double"
+    key_expr = stats.key_sql("x", "y")
 
     # ---- phase 1: probe each query's HOME cell (all salts of it) --------
     # This is the first descent of the reference search: it yields a TRUE
     # kth-distance bound per query, so phase 2 probes almost nothing.
-    q_home = with_cell(q, level, "x", "y")
-    p1_cand = q_home.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+    q_home = q.withColumn("key", F.expr(key_expr))
+    p1_cand = q_home.join(part_keys, "key").select("query_id", "x", "y", "part_key")
     p1 = (
         p1_cand.groupby("part_key")
         .cogroup(img_salted.groupby("part_key"))
-        .applyInPandas(knn_group, schema=schema)
+        .applyInPandas(
+            _make_knn_group(k, carry_xy=True),
+            schema=schema + ", x double, y double",
+        )
     )
+    # ONE window pass (the only Q-sized shuffle) yields rank AND the
+    # per-query bound inputs (cnt, kth distance) — no separate bounds agg
     w = Window.partitionBy("query_id").orderBy("dist", "image_id")
-    p1_topk = p1.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    # p1_topk feeds BOTH the bound computation and the final union; without
-    # materialization the cogroup UDF subtree executes 3x in the final plan
+    wq = Window.partitionBy("query_id")
+    p1_topk = (
+        p1.withColumn("rank", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wq))
+        .filter(F.col("rank") <= k)
+    )
+    # p1_topk feeds bound rows, the p2 exclusion AND the final union;
+    # without materialization the cogroup UDF subtree executes 3x per plan
     # (verified via explain("formatted")).  It is tiny (<= Q*k rows).
     p1_topk = p1_topk.persist()
     p1_topk.count()
-    # home-cell kth distance; only a valid pruning bound when the home cell
-    # held >= k points (otherwise inf -> phase 2 falls back to count bound)
-    bounds = p1_topk.groupBy("query_id").agg(
-        F.count("*").alias("cnt"), F.max("dist").alias("d_k")
-    )
 
     # ---- phase 2: probe remaining cells within the bound ----------------
     # Home is always excluded: phase 1 returned min(k, |home|) rows, which
     # covers the home cell completely in both the cnt>=k and cnt<k cases.
-    q_b = (
-        q.join(bounds, "query_id", "left")
-        .withColumn(
-            "bound",
-            F.when(F.col("cnt") >= k, F.col("d_k")).otherwise(
-                F.lit(float("inf"))
-            ),
-        )
-        .select("query_id", "x", "y", "bound")
+    # Bound rows come straight from p1_topk (rank == min(k, cnt) row) — the
+    # query coordinates were carried through the kernel, so no join back to
+    # the query table is needed.
+    bound_rows = p1_topk.filter(
+        F.col("rank") == F.least(F.lit(k), F.col("cnt"))
+    ).select(
+        "query_id",
+        "x",
+        "y",
+        F.when(F.col("cnt") >= k, F.col("dist"))
+        .otherwise(F.lit(float("inf")))
+        .alias("bound"),
+        F.expr(key_expr).alias("home_key"),
     )
-    p2_cand = _knn_candidates(spark, q_b, stats, k, exclude_home=True)
-    p2_cand = p2_cand.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+    # queries whose home cell holds no images never reach p1: recover them
+    # with a BROADCAST anti join against the (small) part_keys table
+    absent = (
+        q_home.join(part_keys, "key", "left_anti")
+        .select(
+            "query_id", "x", "y",
+            F.lit(float("inf")).alias("bound"),
+            F.col("key").alias("home_key"),
+        )
+    )
+    q_b = bound_rows.unionByName(absent)
+    p2_cand = _knn_candidates(spark, q_b, stats, k, exclude_home=True, spread=False)
+    p2_cand = (
+        p2_cand.join(part_keys, "key")
+        .select("query_id", "x", "y", "part_key")
+        .persist()
+    )
+    p2_cand.count()  # materialize: consumed by the probe AND two filters
+    # probe only the cells phase 2 actually touches — without this the
+    # whole corpus re-shuffles for a handful of boundary queries
+    probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
+    img_probe = img_salted.join(probe_keys, "part_key", "left_semi")
     p2 = (
         p2_cand.groupby("part_key")
-        .cogroup(img_salted.groupby("part_key"))
-        .applyInPandas(knn_group, schema=schema)
+        .cogroup(img_probe.groupby("part_key"))
+        .applyInPandas(_make_knn_group(k), schema=schema)
     )
 
-    merged = p1_topk.select("query_id", "image_id", "dist").unionByName(p2)
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
+    # re-rank ONLY queries that phase 2 probed (broadcast semi/anti joins —
+    # no Q-sized shuffle); everyone else's phase-1 ranks are already final
+    affected = F.broadcast(p2_cand.select("query_id").distinct())
+    untouched = p1_topk.join(affected, "query_id", "left_anti").select(
+        "query_id", "image_id", "dist", F.col("rank").cast("int")
+    )
+    touched_p1 = p1_topk.join(affected, "query_id", "left_semi").select(
+        "query_id", "image_id", "dist"
+    )
+    reranked = (
+        touched_p1.unionByName(p2)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "image_id", "dist", F.col("rank").cast("int"))
     )
+    # note: p1_topk/p2_cand stay persisted until Spark's LRU evicts them —
+    # they must outlive the (lazy) returned plan's execution
+    return untouched.unionByName(reranked)
 
 
 # ------------------------------------------------------------- GeoIndex
@@ -384,9 +519,9 @@ class GeoIndex:
             n = n_images_hint if n_images_hint is not None else img.count()
             level = cells.level_for_count(n)
         self.level = level
-        self.img = with_cell(img, level)
-        self.stats = collect_cell_stats(self.img, level, max_cell_rows)
-        self.img_salted = _salted_images(spark, self.img, self.stats).persist()
+        self.img = img
+        self.stats = collect_cell_stats(img, level, max_cell_rows)
+        self.img_salted = _salted_images(spark, img, self.stats).persist()
         self.img_salted.count()  # materialize
         self.part_keys = F.broadcast(
             spark.createDataFrame(_candidate_part_keys(self.stats))
@@ -397,13 +532,17 @@ class GeoIndex:
         return self.stats.total
 
     def lineage(self) -> DataFrame:
-        """Per-cell lineage metrics (cell id, count, bbox, depth)."""
-        return self.img.groupBy("cell_id").agg(
-            F.count("*").alias("n_rows"),
-            F.min("x").alias("min_x"),
-            F.min("y").alias("min_y"),
-            F.max("x").alias("max_x"),
-            F.max("y").alias("max_y"),
+        """Per-cell lineage metrics (refined key, count, bbox)."""
+        return (
+            self.img.withColumn("cell_id", F.expr(self.stats.key_sql("x", "y")))
+            .groupBy("cell_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("x").alias("min_x"),
+                F.min("y").alias("min_y"),
+                F.max("x").alias("max_x"),
+                F.max("y").alias("max_y"),
+            )
         )
 
     def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
@@ -446,7 +585,6 @@ def radius_join(
     if level is None:
         n = n_images_hint if n_images_hint is not None else img.count()
         level = cells.level_for_count(n)
-    img = with_cell(img, level)
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
     part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
@@ -463,13 +601,13 @@ def _radius_join_on_index(
 ) -> DataFrame:
     q = queries.select("query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y"))
     bc = spark.sparkContext.broadcast(
-        (stats.cell_ids, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
+        (stats.keys, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
     )
     q = q.repartition(_parallelism(spark))
 
     def gen(batches):
-        cell_ids, mnx, mny, mxx, mxy = bc.value
-        C = len(cell_ids)
+        keys, mnx, mny, mxx, mxy = bc.value
+        C = len(keys)
         for pdf in batches:
             if len(pdf) == 0 or C == 0:
                 continue
@@ -484,11 +622,11 @@ def _radius_join_on_index(
                 )
                 qi, ci = np.nonzero(dmin <= r)
                 out = pdf.iloc[qi + c0][["query_id", "x", "y"]].copy()
-                out["cell_id"] = cell_ids[ci]
+                out["key"] = keys[ci]
                 yield out
 
-    cand = q.mapInPandas(gen, schema="query_id string, x double, y double, cell_id long")
-    cand = cand.join(part_keys, "cell_id").select("query_id", "x", "y", "part_key")
+    cand = q.mapInPandas(gen, schema="query_id string, x double, y double, key long")
+    cand = cand.join(part_keys, "key").select("query_id", "x", "y", "part_key")
 
     def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:

@@ -43,9 +43,15 @@ SF_SIZES = {
     "sf0.001": (2_000, 200),
     "sf0.01": (20_000, 2_000),
     "sf0.1": (200_000, 50_000),
-    # scaling-evidence corpus: long enough runs to amortize host noise
+    # scaling-evidence corpora: long enough runs to amortize host noise.
+    # sf2 is payload-light (tiny blobs): the kNN job's scan prunes to
+    # (image_id, phash) anyway — verified in PLANS.md — so full images
+    # would only slow fixture generation, not change the measured job.
     "sf1": (1_000_000, 400_000),
+    "sf2": (4_000_000, 1_600_000),
 }
+
+LITE_TAGS = {"sf2"}
 
 FIXTURE_VERSION = 3  # bump to invalidate cached fixtures
 
@@ -90,7 +96,7 @@ def _captions(image_ids: np.ndarray, phash: np.ndarray) -> np.ndarray:
     )
 
 
-def gen_images(n: int, seed: int = 42) -> pa.Table:
+def gen_images(n: int, seed: int = 42, lite: bool = False) -> pa.Table:
     rng = np.random.default_rng(seed)
     lon, lat = _sample_coords(n, rng)
     phash = cells.coords_to_phash(lat, lon)
@@ -105,20 +111,27 @@ def gen_images(n: int, seed: int = 42) -> pa.Table:
     b = ((u >> np.uint64(28)) & np.uint64(0xFF)).astype(np.int64)
     c = ((u >> np.uint64(36)) & np.uint64(0xFF)).astype(np.int64)
 
-    blobs: list[bytes] = []
-    # group rows by (w, h) so the pixel pattern computes as one vector op
-    pixel_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-    for i in range(n):  # encode loop: per-image zlib/struct, cached grids
-        wi, hi = int(w[i]), int(h[i])
-        if (wi, hi) not in pixel_cache:
-            yy, xx = np.mgrid[0:hi, 0:wi]
-            pixel_cache[(wi, hi)] = (xx, yy)
-        xx, yy = pixel_cache[(wi, hi)]
-        px = np.empty((hi, wi, 3), dtype=np.uint8)
-        px[:, :, 0] = (a[i] * 3 + xx * 5 + yy * 7) % 256
-        px[:, :, 1] = (b[i] * 3 + xx * 11 + yy * 2) % 256
-        px[:, :, 2] = (c[i] * 3 + xx * 4 + yy * 13) % 256
-        blobs.append(codec.encode(px, FMTS[fmt_idx[i]]))
+    blobs: list[bytes]
+    if lite:
+        # payload-light corpora for scaling benches: an 8-byte token keeps
+        # the schema shape; geo joins never read `bytes` (column pruning)
+        blobs = [x.tobytes() for x in phash]
+        fmt_idx = np.zeros(n, dtype=np.int64)
+    else:
+        blobs = []
+        # group rows by (w, h) so the pixel pattern computes as one vector op
+        pixel_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for i in range(n):  # encode loop: per-image zlib/struct, cached grids
+            wi, hi = int(w[i]), int(h[i])
+            if (wi, hi) not in pixel_cache:
+                yy, xx = np.mgrid[0:hi, 0:wi]
+                pixel_cache[(wi, hi)] = (xx, yy)
+            xx, yy = pixel_cache[(wi, hi)]
+            px = np.empty((hi, wi, 3), dtype=np.uint8)
+            px[:, :, 0] = (a[i] * 3 + xx * 5 + yy * 7) % 256
+            px[:, :, 1] = (b[i] * 3 + xx * 11 + yy * 2) % 256
+            px[:, :, 2] = (c[i] * 3 + xx * 4 + yy * 13) % 256
+            blobs.append(codec.encode(px, FMTS[fmt_idx[i]]))
 
     return pa.table(
         {
@@ -268,7 +281,7 @@ def ensure_fixtures(tag: str) -> Path:
 
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True, exist_ok=True)
-    pq.write_table(gen_images(n), tmp / "images.parquet")
+    pq.write_table(gen_images(n, lite=tag in LITE_TAGS), tmp / "images.parquet")
     pq.write_table(gen_queries(nq), tmp / "queries.parquet")
     pq.write_table(gen_polygons(), tmp / "polygons.parquet")
     pq.write_table(gen_tiles(), tmp / "tiles.parquet")

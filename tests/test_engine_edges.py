@@ -1,0 +1,150 @@
+"""kNN-join edge cases: k > corpus, boundary queries, tiny/skewed corpora,
+forced fine levels with mostly-empty cells — all against the DuckDB oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkkd import cells, engine
+
+pytestmark = pytest.mark.spark
+
+
+def _oracle(img_pdf, q_pdf, k):
+    con = duckdb.connect()
+    con.register("img", img_pdf)
+    con.register("q", q_pdf)
+    return con.execute(
+        f"""
+        WITH d AS (SELECT q.query_id, img.image_id,
+                sqrt((img.x - q.qlon)*(img.x - q.qlon) + (img.y - q.qlat)*(img.y - q.qlat)) AS dist
+              FROM q CROSS JOIN img)
+        SELECT query_id, image_id, dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist, image_id) AS INT) AS rank
+        FROM d QUALIFY rank <= {k}
+        """
+    ).df()
+
+
+def _spark_inputs(spark, img_pdf, q_pdf):
+    img = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": img_pdf["image_id"],
+                "phash": cells.coords_to_phash(
+                    img_pdf["y"].to_numpy(), img_pdf["x"].to_numpy()
+                ),
+            }
+        )
+    )
+    return img, spark.createDataFrame(q_pdf)
+
+
+def _run_case(spark, img_pdf, q_pdf, k, **kw):
+    # canonicalize coords through the phash quantization both sides
+    ph = cells.coords_to_phash(img_pdf["y"].to_numpy(), img_pdf["x"].to_numpy())
+    lat, lon = cells.phash_to_coords(ph)
+    img_pdf = img_pdf.assign(x=lon, y=lat)
+    img, q = _spark_inputs(spark, img_pdf, q_pdf)
+    got = (
+        engine.knn_join(spark, img, q, k=k, n_images_hint=len(img_pdf), **kw)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _oracle(img_pdf, q_pdf, k).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    assert (got["image_id"].to_numpy() == want["image_id"].to_numpy()).all()
+    assert np.array_equal(got["dist"].to_numpy(), want["dist"].to_numpy())
+    return got
+
+
+def test_k_exceeds_corpus(spark):
+    rng = np.random.default_rng(50)
+    img = pd.DataFrame(
+        {
+            "image_id": [f"img{i:04d}" for i in range(7)],
+            "x": rng.uniform(-170, 170, 7),
+            "y": rng.uniform(-80, 80, 7),
+        }
+    )
+    q = pd.DataFrame(
+        {"query_id": ["a", "b"], "qlat": [0.0, 45.0], "qlon": [0.0, 90.0]}
+    )
+    got = _run_case(spark, img, q, k=50)
+    assert len(got) == 14  # 2 queries x all 7 images
+
+
+def test_single_image_corpus(spark):
+    img = pd.DataFrame({"image_id": ["only"], "x": [10.0], "y": [20.0]})
+    q = pd.DataFrame({"query_id": ["q1"], "qlat": [-60.0], "qlon": [-120.0]})
+    got = _run_case(spark, img, q, k=3)
+    assert len(got) == 1 and got["image_id"][0] == "only"
+
+
+def test_queries_on_cell_boundaries(spark):
+    """Queries exactly on grid lines (the clamp/floor edge) stay exact."""
+    rng = np.random.default_rng(51)
+    img = pd.DataFrame(
+        {
+            "image_id": [f"img{i:05d}" for i in range(3000)],
+            "x": rng.uniform(-180, 180, 3000),
+            "y": rng.uniform(-90, 90, 3000),
+        }
+    )
+    # level-4 cell edges: multiples of 22.5 (lon) / 11.25 (lat)
+    edges_lon = np.arange(-180.0, 181.0, 22.5)
+    edges_lat = np.arange(-90.0, 91.0, 11.25)
+    qs = [(lo, la) for lo in edges_lon for la in edges_lat][:80]
+    q = pd.DataFrame(
+        {
+            "query_id": [f"q{i:03d}" for i in range(len(qs))],
+            "qlat": [la for _, la in qs],
+            "qlon": [lo for lo, _ in qs],
+        }
+    )
+    _run_case(spark, img, q, k=5, level=4)
+
+
+def test_forced_fine_level_mostly_empty_cells(spark):
+    """Fine level (4096 cells for 500 points): most candidate cells are
+    empty; count-bound fallbacks and ring logic must stay exact."""
+    rng = np.random.default_rng(52)
+    img = pd.DataFrame(
+        {
+            "image_id": [f"img{i:05d}" for i in range(500)],
+            "x": rng.uniform(-180, 180, 500),
+            "y": rng.uniform(-90, 90, 500),
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "query_id": [f"q{i:03d}" for i in range(100)],
+            "qlat": rng.uniform(-90, 90, 100),
+            "qlon": rng.uniform(-180, 180, 100),
+        }
+    )
+    _run_case(spark, img, q, k=9, level=6)
+
+
+def test_extreme_skew_all_in_one_cell(spark):
+    """Whole corpus inside one tiny cell + forced salting: the salted
+    sub-trees must collectively return the exact result."""
+    rng = np.random.default_rng(53)
+    img = pd.DataFrame(
+        {
+            "image_id": [f"img{i:05d}" for i in range(2000)],
+            "x": rng.uniform(10.0, 10.01, 2000),
+            "y": rng.uniform(20.0, 20.01, 2000),
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "query_id": [f"q{i:03d}" for i in range(50)],
+            "qlat": rng.uniform(19.99, 20.02, 50),
+            "qlon": rng.uniform(9.99, 10.02, 50),
+        }
+    )
+    _run_case(spark, img, q, k=8, level=5, max_cell_rows=100)
