@@ -24,7 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # default to the dedicated 1M-image scaling corpus: single runs are then
 # 1-3 min, long enough that host-level noise (this VM shows 2-3x run-to-run
 # variance on short jobs) amortizes out
-SCALE_TAG = os.environ.get("SPARKKD_SCALE_TAG", "sf2")
+SCALE_TAG = os.environ.get("SPARKKD_SCALE_TAG", "sf1")
 REPEATS = int(os.environ.get("SPARKKD_SCALING_REPEATS", "3"))
 
 
