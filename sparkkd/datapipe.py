@@ -57,9 +57,16 @@ def _shingles_expr(col: str, n: int = 3) -> str:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
     """Near-dup pairs by EXACT Jaccard over character n-gram shingle sets.
 
-    Classic distributed set-similarity join: explode distinct shingles,
-    self-equi-join on shingle (co-partitioned shuffle join — never a cross
-    join), count intersections, Jaccard = c / (|A| + |B| - c).
+    Distributed set-similarity join with PREFIX FILTERING (AllPairs/PPJoin
+    family): under a global shingle order (ascending document frequency,
+    ties by shingle), two sets with Jaccard >= t must share a shingle in
+    their first ``m - ceil(t*m) + 1`` shingles — so the candidate self-join
+    runs on prefixes only, and a frequent "stop shingle" never creates a
+    quadratic bucket (round 1 joined on ALL shingles: one hot shingle made
+    a bucket O(n^2) at corpus scale).  Provably no false negatives: if
+    prefix(A) ∩ B = ∅ then |A ∩ B| <= ceil(t|A|) - 1 < t|A| <= t|A∪B|,
+    contradicting J >= t.  Candidates are then verified with the FULL
+    intersection count, so the output is exactly the naive join's.
 
     Output (doc_a, doc_b, jacc) with doc_a < doc_b, jacc rounded to 6dp
     (integer-derived division is exact in both engines; rounding is belt
@@ -68,18 +75,36 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> 
         "doc_id", F.explode(F.expr(_shingles_expr("text", n))).alias("sh")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("m"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1)
+        .select("doc_id", "sh")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with the full intersection count (exact semantics)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    ma = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    mb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
         .withColumn(
             "jacc",
             F.round(
@@ -94,52 +119,77 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> 
 
 
 # ------------------------------------------------------ dedup: MinHash+LSH
+#
+# The token hash shared by Spark AND DuckDB (so the whole MinHash/SimHash
+# family is oracle-verifiable): the first 15 hex chars of md5 as a 60-bit
+# BIGINT.  Spark renders it via conv(..., 16, 10); DuckDB casts a '0x...'
+# literal.  "Permutation" i is the same hash with an 'i:' prefix — an
+# independent-hash MinHash family, no modular arithmetic needed.
 
 
-_MERSENNE = (1 << 61) - 1
+def md5_hash60_spark(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def _stable_hash64(tokens: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit hash per string (blake2b, not salted)."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in tokens
-        ],
-        dtype=np.uint64,
+def md5_hash60_duckdb(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def word_shingles_expr(shingle_words: int = 3) -> str:
+    """Word n-gram shingle array (Spark SQL; DuckDB mirror in the oracle)."""
+    return (
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {shingle_words - 1}, 1)),"
+        f" i -> array_join(slice(split(text, ' '), i, {shingle_words}), ' '))"
     )
 
 
-def _minhash_params(n_perm: int, seed: int = 7):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.uint64)
-    return a, b
-
-
 def minhash_signatures(
-    docs: DataFrame, n_perm: int = 64, shingle_words: int = 3, seed: int = 7
+    docs: DataFrame, n_perm: int = 64, shingle_words: int = 3
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — MinHash over word shingles, vectorized
-    per Arrow batch (loop over permutations happens as one (S, P) matmul-
-    style modular op, never per row)."""
-    a, b = _minhash_params(n_perm, seed)
+    """(doc_id, perm, minhash) — MinHash over word shingles, entirely
+    JVM-side built-ins (explode shingles x permutations, md5-derived 60-bit
+    hash, min per (doc, perm)): whole-stage codegen, one shuffle, and
+    DuckDB-oracle-expressible (round-1 ran per-row Python here).
 
-    def gen(batches):
-        for pdf in batches:
-            out_rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(" ")
-                sh = np.unique(
-                    [" ".join(toks[i : i + shingle_words]) for i in range(max(len(toks) - shingle_words + 1, 1))]
+    The row layout (one row per permutation instead of an array column)
+    keeps the oracle comparison trivial; band rollups derive from it."""
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(word_shingles_expr(shingle_words))).alias("sh")
+    ).distinct()
+    exploded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(F.expr(f"sequence(0, {n_perm - 1})")).alias("perm"),
+    )
+    h = md5_hash60_spark("concat(cast(perm AS STRING), ':', sh)")
+    return (
+        exploded.withColumn("h", F.expr(h))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+        .select("doc_id", F.col("perm").cast("int"), "minhash")
+    )
+
+
+def minhash_band_keys(
+    docs: DataFrame, n_perm: int = 64, bands: int = 16, shingle_words: int = 3
+) -> DataFrame:
+    """(doc_id, band, bh): md5 over the band's minhashes joined in perm
+    order — the SAME string both engines can build, so LSH candidate
+    generation itself is oracle-checkable."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(docs, n_perm, shingle_words)
+    return (
+        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(perm, minhash))),"
+                    " x -> cast(x.minhash AS STRING)), ',')"
                 )
-                h = _stable_hash64(sh).astype(object)  # python ints: exact mod
-                # (S,P) permuted hashes; object dtype keeps exact 61-bit math
-                m = (h[:, None] * a.astype(object)[None, :] + b.astype(object)[None, :]) % _MERSENNE
-                out_rows.append((int(doc_id), m.min(axis=0).astype(np.int64).tolist()))
-            yield pd.DataFrame(out_rows, columns=["doc_id", "sig"])
-
-    return docs.select("doc_id", "text").mapInPandas(gen, schema="doc_id long, sig array<long>")
+            ).alias("bh")
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -152,20 +202,11 @@ def minhash_lsh_pairs(
     """Scale-path near-dup: band the MinHash signature (bands x rows), bucket
     by (band, band-hash) equi-join to get candidates, then verify candidates
     with EXACT word-shingle Jaccard.  Only candidate pairs are verified —
-    the full O(n^2) comparison never materializes.  Deterministic.
+    the full O(n^2) comparison never materializes.  Deterministic, all
+    JVM built-ins, DuckDB-oracle-paired end to end.
 
     Output (doc_a, doc_b, jacc) with jacc >= threshold, rounded 6dp."""
-    rows_per_band = n_perm // bands
-    sigs = minhash_signatures(docs, n_perm, shingle_words)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> struct(b AS band, xxhash64(slice(sig, b*{rows_per_band}+1, {rows_per_band})) AS bh))"
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bh")
+    banded = minhash_band_keys(docs, n_perm, bands, shingle_words)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -180,14 +221,7 @@ def minhash_lsh_pairs(
     )
     # verify with exact Jaccard over word shingles (same shingling as sigs)
     sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""transform(
-                      sequence(1, greatest(size(split(text, ' ')) - {shingle_words - 1}, 1)),
-                      i -> array_join(slice(split(text, ' '), i, {shingle_words}), ' '))"""
-            )
-        ).alias("sh"),
+        "doc_id", F.explode(F.expr(word_shingles_expr(shingle_words))).alias("sh")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("m"))
     # intersection via join on (pair, shingle): attach shingles of both sides
@@ -223,34 +257,57 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 8) -> DataFrame:
     perceptual hash: all (a, b) with ``popcount(phash_a XOR phash_b) <=
     max_hamming``, a < b by image_id.
 
-    Pigeonhole banding makes this exact WITHOUT a cross join: split the 64
-    bits into ``max_hamming + 1`` bands — two hashes within distance t must
-    agree on at least one band (t flipped bits cannot touch all t+1 bands).
-    Candidates come from per-band equi-joins (co-partitioned shuffle
-    joins), then the exact popcount filter runs as a built-in expression.
-    This is the standard scalable simhash/phash dedup pattern.
+    MULTI-INDEX pigeonhole banding (the scalable simhash/phash pattern,
+    upgraded from round-1's exact-match bands): split the 64 bits into
+    ``m = floor(t/2) + 1`` blocks — if every block had >= 2 flipped bits the
+    total would be >= 2m > t, so some block differs in AT MOST ONE bit.
+    Each image therefore indexes, per block, its plain key plus every
+    single-bit-flip variant; candidates come from equi-joining variant keys
+    against plain keys (co-partitioned shuffle joins — no cross join), then
+    the exact popcount filter runs as a built-in expression.
+
+    Why this scales where t+1 exact bands don't: at t=8, exact banding
+    yields 7-bit keys (128 buckets/band -> bucket occupancy N/128 ->
+    candidates ~N^2/128); here keys are ~13-bit (8192 buckets) at ~8x the
+    index rows — a 64x candidate-density win that grows with key width.
 
     Output (id_a, id_b, hamming), hamming as int."""
-    bands = max_hamming + 1
-    width = 64 // bands
-    # band b = bits [b*width, (b+1)*width) (remainder bits join the last
-    # band — any contiguous partition works for the pigeonhole argument)
-    exprs = []
-    for b in range(bands):
-        lo = b * width
-        if b < bands - 1:
-            mask = (1 << width) - 1
-            key = f"shiftrightunsigned(phash, {lo}) & {mask}"
-        else:  # last band reaches bit 63: the logical shift IS the mask
+    m = max_hamming // 2 + 1
+    base_w = 64 // m
+    rem = 64 % m
+    plain_exprs = []
+    var_exprs = []
+    lo = 0
+    for b in range(m):
+        wd = base_w + (1 if b < rem else 0)
+        if lo + wd < 64:
+            key = f"(shiftrightunsigned(phash, {lo}) & {(1 << wd) - 1})"
+        else:  # top block reaches bit 63: the logical shift IS the mask
             key = f"shiftrightunsigned(phash, {lo})"
-        exprs.append(f"struct({b} AS band, {key} AS key)")
-    banded = images.select(
+        plain_exprs.append(f"struct({b} AS band, {key} AS key)")
+        # j = -1 emits the plain key; j in 0..wd-1 flips one bit of it
+        var_exprs.append(
+            f"transform(sequence(-1, {wd - 1}), j -> struct({b} AS band,"
+            f" CASE WHEN j < 0 THEN {key} ELSE"
+            f" {key} ^ shiftleft(CAST(1 AS BIGINT), j) END AS key))"
+        )
+        lo += wd
+    plain = images.select(
         F.col("image_id"),
         F.col("phash"),
-        F.explode(F.expr(f"array({', '.join(exprs)})")).alias("e"),
+        F.explode(F.expr(f"array({', '.join(plain_exprs)})")).alias("e"),
     ).select("image_id", "phash", "e.band", "e.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    variants = images.select(
+        F.col("image_id"),
+        F.col("phash"),
+        F.explode(F.expr(f"flatten(array({', '.join(var_exprs)}))")).alias("e"),
+    ).select("image_id", "phash", "e.band", "e.key")
+    a = variants.alias("a")
+    b = plain.alias("b")
+    # a pair within distance t has a block with <= 1 differing bit: either
+    # the plain keys match (variant j=-1) or a's flipped key hits b's plain
+    # key.  Flipping is symmetric, so indexing variants on ONE side only
+    # (with id_a < id_b) still covers every pair.
     # popcount filter BEFORE distinct: candidates are band-join-sized (can
     # be millions) while survivors are few — dedupe only the survivors
     return (
@@ -276,76 +333,147 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over word unigrams, weighted by
-    term frequency; bit votes computed as one (T, 64) unpackbits matrix per
-    Arrow batch."""
-
-    def gen(batches):
-        for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks, counts = np.unique(text.split(" "), return_counts=True)
-                h = _stable_hash64(toks)
-                bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-                votes = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
-                fp_bits = (votes > 0).astype(np.uint8)
-                fp = int.from_bytes(np.packbits(fp_bits, bitorder="little").tobytes(), "little")
-                out.append((int(doc_id), fp - (1 << 64) if fp >= 1 << 63 else fp))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
-
-    return docs.select("doc_id", "text").mapInPandas(gen, schema="doc_id long, simhash long")
+    term frequency.  Entirely JVM built-ins (round-1 looped per row in
+    Python): the 64 hash bits come from two md5-derived 32-bit halves
+    (bits 0-31 from hex chars 9-16, bits 32-63 from chars 1-8), votes are a
+    (doc, bit) aggregation of tf-weighted ±1, and the fingerprint packs the
+    positive-vote bits back into one signed BIGINT (bit 63 contributes the
+    int64 sign term).  Every step is plain SQL arithmetic shared with the
+    DuckDB oracle."""
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tf = tf.withColumns(
+        {
+            "hi": F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"),
+            "lo": F.expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"),
+        }
+    )
+    bits = tf.select(
+        "doc_id",
+        "cnt",
+        "hi",
+        "lo",
+        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
+    ).withColumn(
+        "bitval",
+        F.expr(
+            "CASE WHEN bit < 32 THEN (lo >> bit) & 1 ELSE (hi >> (bit - 32)) & 1 END"
+        ),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(F.col("cnt") * (F.col("bitval") * 2 - 1)).alias("v")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN v > 0 THEN"
+                    " CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
+                    " ELSE shiftleft(CAST(1 AS BIGINT), bit) END"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+        .select("doc_id", "simhash")
+    )
 
 
 # ------------------------------------------------------------------- ANN
 
 
-def ann_cosine_topk(embeddings: DataFrame, k: int = 10) -> DataFrame:
+def _round6_away(x: np.ndarray) -> np.ndarray:
+    """Round to 6dp half-AWAY-FROM-ZERO — the same rule as SQL round(x, 6)
+    in both Spark and DuckDB (np.round is banker's/half-even; a sim landing
+    exactly on a 0.5e-6 boundary would otherwise flip ranks vs the oracle)."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def ann_cosine_topk(
+    embeddings: DataFrame, k: int = 10, block_rows: int = 50_000
+) -> DataFrame:
     """Brute-force cosine top-k per vector (self excluded) — the exactness
-    baseline for similarity search.  The corpus matrix is broadcast once;
-    each Arrow batch does one (B, N) float64 matmul.  Rank is computed on
-    the 6dp-ROUNDED similarity (tie-broken by neighbor id) so independent
-    engines agree despite summation-order float noise.
+    baseline for similarity search, fully distributed.
 
-    Scale path: swap the broadcast matrix for the LSH band-bucket pattern
-    (minhash_lsh_pairs) or an IVF coarse quantizer over cell_id-style
-    buckets — same candidate->verify shape as the geo kNN join."""
-    pdf = embeddings.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy(np.int64)
-    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    The corpus is hash-split into B = ceil(N / block_rows) blocks; every
+    query replicates to every block (explode over a block sequence — a
+    built-in, not a cross join node) and ONE cogroup per block does the
+    (Q, N/B) float64 matmul and keeps a per-block top-k.  A final window
+    merges the B partial top-ks.  Work is O(N^2/B) per task — brute force
+    by definition — but no single machine ever holds the corpus matrix and
+    the driver holds nothing (round-1 collected the whole table: at corpus
+    scale the driver dies; at 10^9 vectors use ann_lsh_cosine_topk).
+
+    Rank is computed on the 6dp-ROUNDED similarity (half-away-from-zero,
+    matching SQL round; tie-broken by neighbor id) so independent engines
+    agree despite summation-order float noise."""
     spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast((ids, Mn))
+    n = embeddings.count()
+    n_blocks = max(1, -(-n // block_rows))
+    emb = embeddings.select("vec_id", "embedding")
+    corpus = emb.withColumn(
+        "block", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    q_rep = emb.withColumn(
+        "block", F.explode(F.expr(f"sequence(0, {n_blocks - 1})"))
+    ).withColumn("block", F.col("block").cast("int"))
 
-    def gen(batches):
-        all_ids, Mn_ = bc.value
-        for p in batches:
-            if len(p) == 0:
-                continue
+    def topk_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids = right["vec_id"].to_numpy(np.int64)
+        M = np.array(right["embedding"].tolist(), dtype=np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = []
+        kk = min(k, len(ids))
+        for c0 in range(0, len(left), 4096):  # memory-bounding chunk loop
+            p = left.iloc[c0 : c0 + 4096]
             q = np.array(p["embedding"].tolist(), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ Mn_.T  # (B, N)
             qids = p["vec_id"].to_numpy(np.int64)
-            sims[qids[:, None] == all_ids[None, :]] = -np.inf  # exclude self
-            simr = np.round(sims, 6)
-            # top-k by (rounded sim desc, neighbor id asc)
-            order = np.lexsort((all_ids[None, :].repeat(len(qids), 0), -simr), axis=1)[:, :k]
-            rows = np.repeat(qids, k)
+            simr = _round6_away(qn @ Mn.T)  # (Bq, Nb)
+            simr[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            order = np.lexsort(
+                (np.broadcast_to(ids, simr.shape), -simr), axis=1
+            )[:, :kk]
+            rows = np.repeat(qids, kk)
             cols = order.ravel()
-            yield pd.DataFrame(
-                {
-                    "vec_id": rows,
-                    "neighbor_id": all_ids[cols],
-                    "sim": simr[np.repeat(np.arange(len(qids)), k), cols],
-                    "rank": np.tile(np.arange(1, k + 1), len(qids)),
-                }
+            sims = simr[np.repeat(np.arange(len(qids)), kk), cols]
+            keep = np.isfinite(sims)  # drop self rows when the block is tiny
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": rows[keep],
+                        "neighbor_id": ids[cols][keep],
+                        "sim": sims[keep],
+                    }
+                )
             )
+        return pd.concat(out) if out else empty
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        gen, schema="vec_id long, neighbor_id long, sim double, rank int"
+    partial = (
+        q_rep.groupby("block")
+        .cogroup(corpus.groupby("block"))
+        .applyInPandas(topk_block, schema="vec_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
 
 
 def ann_lsh_cosine_topk(
-    embeddings: DataFrame, k: int = 10, n_planes: int = 6, n_tables: int = 24, seed: int = 5
+    embeddings: DataFrame,
+    k: int = 10,
+    n_planes: int | None = None,
+    n_tables: int = 24,
+    seed: int = 5,
 ) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH.  Each of ``n_tables`` hash
     tables buckets vectors by the sign pattern of ``n_planes`` random
@@ -359,8 +487,17 @@ def ann_lsh_cosine_topk(
     tests (recall@1 = 0.73, recall@10 = 0.67 at these defaults on the
     RANDOM fixture corpus — the adversarial case for LSH; real clustered
     embeddings bucket far better).  Deterministic given (seed, n_planes,
-    n_tables)."""
+    n_tables).
+
+    n_planes=None applies the scale policy ``max(6, ceil(log2(N)) - 4)``:
+    bucket count 2^n_planes grows with the corpus, so expected bucket
+    occupancy stays ~constant (a FIXED plane count makes per-bucket
+    occupancy linear in N and candidate pairs quadratic — the round-1
+    time bomb this replaces)."""
     spark = embeddings.sparkSession
+    if n_planes is None:
+        n = embeddings.count()
+        n_planes = max(6, int(np.ceil(np.log2(max(n, 2)))) - 4)
     first = embeddings.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"])
     rng = np.random.default_rng(seed)
@@ -516,27 +653,15 @@ def lang_id_score(docs: DataFrame) -> DataFrame:
 
 
 def doc_fingerprint(docs: DataFrame, base: int = 131, mod: int = (1 << 31) - 1) -> DataFrame:
-    """(doc_id, fp) — polynomial rolling hash of the text bytes (Horner),
-    vectorized across the batch: the loop runs over CHARACTER POSITIONS of
-    the padded (B, Lmax) byte matrix, never over rows."""
-
-    def gen(batches):
-        for pdf in batches:
-            texts = pdf["text"].to_list()
-            if not texts:
-                continue
-            lmax = max(len(t) for t in texts)
-            mat = np.zeros((len(texts), lmax), dtype=np.uint64)
-            lens = np.array([len(t) for t in texts])
-            for i, t in enumerate(texts):
-                mat[i, : len(t)] = np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8)
-            h = np.zeros(len(texts), dtype=np.uint64)
-            for j in range(lmax):  # loop over char positions (vector per step)
-                active = j < lens
-                h[active] = (h[active] * np.uint64(base) + mat[active, j]) % np.uint64(mod)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(np.int64), "fp": h.astype(np.int64)})
-
-    return docs.select("doc_id", "text").mapInPandas(gen, schema="doc_id long, fp long")
+    """(doc_id, fp) — polynomial rolling hash (Horner) of the text's ASCII
+    codes, as ONE built-in aggregate() fold over character positions: JVM
+    codegen, no Python, and expressible verbatim in DuckDB (list_reduce).
+    acc stays < 2^31 so acc*131 + c never overflows BIGINT."""
+    fold = (
+        f"aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),"
+        f" (acc, i) -> (acc * {base} + ascii(substring(text, i, 1))) % {mod})"
+    )
+    return docs.select("doc_id", F.expr(fold).alias("fp"))
 
 
 # ------------------------------------------------------------- multimodal

@@ -58,6 +58,29 @@ def _parallelism(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+# intermediate caches (phase-1 top-k, phase-2 candidates) from the most
+# recent join call; released on the next call / via release_caches() so
+# repeated query batches don't accumulate executor storage memory
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist intermediates from prior join calls.  A still-lazy earlier
+    result plan remains CORRECT after this (Spark recomputes the evicted
+    subtree); only already-materialized reuse is affected."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
 # ---------------------------------------------------------------- inputs
 
 
@@ -133,63 +156,180 @@ class CellStats:
         return expr
 
 
+def _coarsen(cell: np.ndarray, from_level: int, to_level: int) -> np.ndarray:
+    """Map cell ids at from_level to their ancestor ids at to_level."""
+    nf = np.int64(1 << from_level)
+    s = from_level - to_level
+    ix = (cell % nf) >> s
+    iy = (cell // nf) >> s
+    return iy * np.int64(1 << to_level) + ix
+
+
 def collect_cell_stats(
-    img: DataFrame, level: int, max_cell_rows: int = 8192, max_hot_cells: int = 4096
+    img: DataFrame,
+    level: int,
+    max_cell_rows: int = 8192,
+    max_hot_cells: int = 4096,
+    probe_depth: int = 6,
 ) -> CellStats:
-    """Iterative spatial refinement: count cells at the base level, refine
-    hot ones 3 levels deeper (64x smaller), re-count ONLY within the hot
-    regions, repeat until nothing is hot or MAX_LEVEL is reached (point-mass
-    duplicates beyond that fall back to hash salting).  Each iteration is
-    one small map-side-combined aggregation over the still-hot subset."""
-    refinements: list[tuple[int, int, np.ndarray]] = []
-    cur_level = level
-    scope = img  # rows still subject to refinement checks
-    while True:
-        counts_pdf = (
+    """Spatial-refinement statistics in (typically) ONE Spark job.
+
+    Round 1 iterated: count at the base level, refine hot cells 3 levels
+    deeper, re-count, repeat — 3-5 driver-blocking jobs that dominated the
+    kNN serial floor.  Now: aggregate count+bbox once at a FINE level
+    (base + probe_depth) and derive the identical refinement schedule and
+    per-key stats by rolling the fine table up DRIVER-SIDE (pure NumPy):
+    coarser counts are sums of fine counts and coarser bboxes are unions of
+    fine bboxes, so the result is bit-identical to re-aggregating in Spark.
+    Only a point-mass pathology (cells still hot at the fine level) pays an
+    extra aggregation pass, scoped to those cells.
+
+    At 10^12 rows the fine stats table is bounded by occupied fine cells
+    (<= 67M at MAX_LEVEL); production would insert a tree of partial rollups
+    — the math below is unchanged."""
+    # fine-resolution stats rows: (cell id at `lvl`, lvl, cnt, bbox)
+    cell_arr = np.empty(0, np.int64)
+    lvl_arr = np.empty(0, np.int64)
+    cnt_arr = np.empty(0, np.int64)
+    bbox_arr = np.empty((0, 4), np.float64)  # min_x, min_y, max_x, max_y
+
+    def agg_scope(scope: DataFrame, at_level: int) -> pd.DataFrame:
+        return (
             scope.groupBy(
-                F.expr(cells.cell_id_sql("x", "y", cur_level)).alias("c")
+                F.expr(cells.cell_id_sql("x", "y", at_level)).alias("c")
             )
-            .count()
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("x").alias("min_x"),
+                F.min("y").alias("min_y"),
+                F.max("x").alias("max_x"),
+                F.max("y").alias("max_y"),
+            )
             .toPandas()
         )
-        hot = counts_pdf[counts_pdf["count"] > max_cell_rows]
-        if len(hot) == 0 or cur_level >= MAX_LEVEL or len(hot) > max_hot_cells:
-            break
-        next_level = min(cur_level + 3, MAX_LEVEL)
-        hot_ids = np.sort(hot["c"].to_numpy(np.int64))
-        refinements.append((cur_level, next_level, hot_ids))
-        hot_list = ", ".join(str(int(c)) for c in hot_ids)
-        scope = scope.filter(
-            F.expr(f"{cells.cell_id_sql('x', 'y', cur_level)} IN ({hot_list})")
-        )
-        cur_level = next_level
 
-    probe = CellStats(
-        keys=np.empty(0, np.int64), counts=np.empty(0, np.int64),
-        min_x=np.empty(0), min_y=np.empty(0), max_x=np.empty(0), max_y=np.empty(0),
-        salt_n=np.empty(0, np.int64), level=level, refinements=refinements,
-    )
-    pdf = (
-        img.groupBy(F.expr(probe.key_sql("x", "y")).alias("key"))
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min("x").alias("min_x"),
-            F.min("y").alias("min_y"),
-            F.max("x").alias("max_x"),
-            F.max("y").alias("max_y"),
-        )
-        .toPandas()
-        .sort_values("key")
-    )
-    counts = pdf["cnt"].to_numpy(np.int64)
+    fine = min(level + probe_depth, MAX_LEVEL)
+    pdf = agg_scope(img, fine)
+    cell_arr = pdf["c"].to_numpy(np.int64)
+    lvl_arr = np.full(len(pdf), fine, np.int64)
+    cnt_arr = pdf["cnt"].to_numpy(np.int64)
+    bbox_arr = pdf[["min_x", "min_y", "max_x", "max_y"]].to_numpy(np.float64)
+
+    def counts_at(at_level: int, mask: np.ndarray):
+        """Roll the masked fine rows up to at_level: unique ancestor cells +
+        summed counts (all masked rows have lvl >= at_level)."""
+        # per-row coarsen honoring each row's own level
+        anc = np.empty(int(mask.sum()), np.int64)
+        sub_cells = cell_arr[mask]
+        sub_lvls = lvl_arr[mask]
+        for lv in np.unique(sub_lvls):
+            m = sub_lvls == lv
+            anc[m] = _coarsen(sub_cells[m], int(lv), at_level)
+        uniq, inv = np.unique(anc, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, cnt_arr[mask])
+        return uniq, sums, anc
+
+    # derive the same schedule the iterative version produced: step by 3
+    # from the base level, refining cells whose count exceeds max_cell_rows
+    refinements: list[tuple[int, int, np.ndarray]] = []
+    cur = level
+    scope_mask = np.ones(len(cell_arr), dtype=bool)
+    while True:
+        uniq, sums, anc = counts_at(cur, scope_mask)
+        hot_ids = uniq[sums > max_cell_rows]
+        if len(hot_ids) == 0 or len(hot_ids) > max_hot_cells:
+            break
+        if cur >= fine:
+            # point-mass pathology: still hot at the fine level -> one more
+            # aggregation pass scoped to the hot cells, 6 levels deeper
+            if fine >= MAX_LEVEL:
+                break
+            new_fine = min(fine + probe_depth, MAX_LEVEL)
+            hot_list = ", ".join(str(int(c)) for c in hot_ids)
+            scoped = img.filter(
+                F.expr(f"{cells.cell_id_sql('x', 'y', fine)} IN ({hot_list})")
+            )
+            sub = agg_scope(scoped, new_fine)
+            # replace the hot fine rows with their finer decomposition:
+            # drop rows whose ancestor at `fine` is hot (all such rows sit
+            # at lvl >= fine by construction)
+            row_anc = np.empty(len(cell_arr), np.int64)
+            for lv in np.unique(lvl_arr):
+                m = lvl_arr == lv
+                row_anc[m] = _coarsen(cell_arr[m], int(lv), fine)
+            drop = np.isin(row_anc, hot_ids) & (lvl_arr >= fine)
+            keep = ~drop
+            cell_arr = np.concatenate([cell_arr[keep], sub["c"].to_numpy(np.int64)])
+            lvl_arr = np.concatenate(
+                [lvl_arr[keep], np.full(len(sub), new_fine, np.int64)]
+            )
+            cnt_arr = np.concatenate([cnt_arr[keep], sub["cnt"].to_numpy(np.int64)])
+            bbox_arr = np.concatenate(
+                [
+                    bbox_arr[keep],
+                    sub[["min_x", "min_y", "max_x", "max_y"]].to_numpy(np.float64),
+                ]
+            )
+            scope_mask = np.concatenate(
+                [scope_mask[keep], np.ones(len(sub), dtype=bool)]
+            )
+            fine = new_fine
+            # cur stays: re-evaluate the same level against the finer table
+            continue
+        nxt = min(cur + 3, fine)
+        refinements.append((cur, nxt, np.sort(hot_ids)))
+        # narrow scope to rows under a hot cell (the iterative `scope`)
+        cur_anc = np.empty(len(cell_arr), np.int64)
+        for lv in np.unique(lvl_arr):
+            m = lvl_arr == lv
+            cur_anc[m] = _coarsen(cell_arr[m], int(lv), cur)
+        scope_mask = scope_mask & np.isin(cur_anc, hot_ids)
+        cur = nxt
+
+    # final per-key stats: descend each fine row through the schedule, then
+    # roll up (sum counts, union bboxes) per final key — identical to
+    # re-aggregating in Spark at key_sql granularity
+    key_level = np.full(len(cell_arr), level, np.int64)
+    for from_lvl, to_lvl, hot in refinements:
+        anc = np.empty(len(cell_arr), np.int64)
+        for lv in np.unique(lvl_arr):
+            m = lvl_arr == lv
+            anc[m] = _coarsen(cell_arr[m], int(lv), from_lvl)
+        m = (key_level == from_lvl) & np.isin(anc, hot)
+        key_level[m] = to_lvl
+    final_cell = np.empty(len(cell_arr), np.int64)
+    for lv in np.unique(lvl_arr):
+        for kl in np.unique(key_level):
+            m = (lvl_arr == lv) & (key_level == kl)
+            if m.any():
+                final_cell[m] = _coarsen(cell_arr[m], int(lv), int(kl))
+    keys_all = (key_level << LEVEL_SHIFT) + final_cell
+    uniq, inv = np.unique(keys_all, return_inverse=True)
+    counts = np.zeros(len(uniq), np.int64)
+    np.add.at(counts, inv, cnt_arr)
+    mnx = np.full(len(uniq), np.inf)
+    mny = np.full(len(uniq), np.inf)
+    mxx = np.full(len(uniq), -np.inf)
+    mxy = np.full(len(uniq), -np.inf)
+    np.minimum.at(mnx, inv, bbox_arr[:, 0])
+    np.minimum.at(mny, inv, bbox_arr[:, 1])
+    np.maximum.at(mxx, inv, bbox_arr[:, 2])
+    np.maximum.at(mxy, inv, bbox_arr[:, 3])
+    # hash-salt fan-out is capped by its bit budget (SALT_SHIFT): a cell
+    # needing more than 4096 salts (~33.5M duplicate-coordinate rows at
+    # defaults) degrades to coarser salting rather than corrupting keys
+    salt_n = np.clip(
+        -(-counts // max_cell_rows), 1, np.int64(1 << SALT_SHIFT)
+    ).astype(np.int64)
     return CellStats(
-        keys=pdf["key"].to_numpy(np.int64),
+        keys=uniq,
         counts=counts,
-        min_x=pdf["min_x"].to_numpy(np.float64),
-        min_y=pdf["min_y"].to_numpy(np.float64),
-        max_x=pdf["max_x"].to_numpy(np.float64),
-        max_y=pdf["max_y"].to_numpy(np.float64),
-        salt_n=np.maximum(1, -(-counts // max_cell_rows)).astype(np.int64),
+        min_x=mnx,
+        min_y=mny,
+        max_x=mxx,
+        max_y=mxy,
+        salt_n=salt_n,
         level=level,
         refinements=refinements,
     )
@@ -321,12 +461,14 @@ def _knn_candidates(
 # ---------------------------------------------------------------- kNN join
 
 
-def _make_knn_group(k: int, carry_xy: bool = False):
+def _make_knn_group(k: int, carry_xy: bool = False, max_radius: float = np.inf):
     """Cogroup kernel: build a k-d tree over the cell's images, run the
     batched bounded kNN for the cell's candidate queries (ties broken by
     image_id lexicographic rank so the global merge is deterministic).
     carry_xy=True passes the query coordinates through (lets phase 2 derive
-    its inputs from phase-1 output without re-joining the query table)."""
+    its inputs from phase-1 output without re-joining the query table).
+    max_radius seeds the admission bound (reference Q2's maxRadius,
+    ``src/_kdtree_median.hpp:456-472``)."""
 
     def knn_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = {"query_id": [], "image_id": [], "dist": []}
@@ -344,7 +486,7 @@ def _make_knn_group(k: int, carry_xy: bool = False):
         qpts = np.column_stack(
             [left["x"].to_numpy(np.float64), left["y"].to_numpy(np.float64)]
         )
-        qi, idx, dist = kernel.knn(tree, qpts, k, tie_key=tie)
+        qi, idx, dist = kernel.knn(tree, qpts, k, tie_key=tie, max_radius=max_radius)
         out = {
             "query_id": left["query_id"].to_numpy()[qi],
             "image_id": ids[idx],
@@ -366,9 +508,12 @@ def knn_join(
     level: int | None = None,
     max_cell_rows: int = 8192,
     n_images_hint: int | None = None,
+    max_radius: float = float("inf"),
 ) -> DataFrame:
     """Exact kNN join: for every query row, its k nearest images by planar
-    L2 over phash-derived (lon, lat), ties broken by image_id.
+    L2 over phash-derived (lon, lat), ties broken by image_id; neighbors
+    beyond ``max_radius`` are excluded (reference Q2's bounded entry,
+    ``src/_kdtree_median.hpp:456-472``).
 
     Returns (query_id, image_id, dist, rank) with rank in 1..k.
     Generalizes reference Q1/Q2 (``src/_kdtree_median.hpp:332-359``) from a
@@ -381,7 +526,9 @@ def knn_join(
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
     part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
-    return _knn_join_on_index(spark, img_salted, stats, part_keys, queries, k)
+    return _knn_join_on_index(
+        spark, img_salted, stats, part_keys, queries, k, max_radius=max_radius
+    )
 
 
 def _knn_join_on_index(
@@ -391,7 +538,9 @@ def _knn_join_on_index(
     part_keys: DataFrame,
     queries: DataFrame,
     k: int,
+    max_radius: float = float("inf"),
 ) -> DataFrame:
+    release_caches()  # intermediates of the PREVIOUS join call
     q = queries.select(
         "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
     )
@@ -407,7 +556,7 @@ def _knn_join_on_index(
         p1_cand.groupby("part_key")
         .cogroup(img_salted.groupby("part_key"))
         .applyInPandas(
-            _make_knn_group(k, carry_xy=True),
+            _make_knn_group(k, carry_xy=True, max_radius=max_radius),
             schema=schema + ", x double, y double",
         )
     )
@@ -421,46 +570,72 @@ def _knn_join_on_index(
         .filter(F.col("rank") <= k)
     )
     # p1_topk feeds bound rows, the p2 exclusion AND the final union;
-    # without materialization the cogroup UDF subtree executes 3x per plan
-    # (verified via explain("formatted")).  It is tiny (<= Q*k rows).
-    p1_topk = p1_topk.persist()
-    p1_topk.count()
+    # without caching the cogroup UDF subtree executes 3x per plan
+    # (verified via explain("formatted")).  It is tiny (<= Q*k rows).  The
+    # cache fills during the p2_cand materialization below — no separate
+    # count() job for it (round-1 ran one: pure serial-floor waste).
+    p1_topk = _register_cache(p1_topk)
 
     # ---- phase 2: probe remaining cells within the bound ----------------
     # Home is always excluded: phase 1 returned min(k, |home|) rows, which
     # covers the home cell completely in both the cnt>=k and cnt<k cases.
     # Bound rows come straight from p1_topk (rank == min(k, cnt) row) — the
     # query coordinates were carried through the kernel, so no join back to
-    # the query table is needed.
-    bound_rows = p1_topk.filter(
-        F.col("rank") == F.least(F.lit(k), F.col("cnt"))
+    # the query table is needed.  With max_radius: phase-1 may return FEWER
+    # than min(k, cnt) rows (all under the radius cap), so the bound row is
+    # the LAST surviving rank and the bound caps at max_radius.
+    mr = float(max_radius)
+    last_rank = F.max("rank").over(wq)
+    bound_rows = p1_topk.withColumn("last_rank", last_rank).filter(
+        F.col("rank") == F.col("last_rank")
     ).select(
         "query_id",
         "x",
         "y",
-        F.when(F.col("cnt") >= k, F.col("dist"))
-        .otherwise(F.lit(float("inf")))
-        .alias("bound"),
+        F.least(
+            F.when(
+                (F.col("cnt") >= k) & (F.col("rank") == k), F.col("dist")
+            ).otherwise(F.lit(float("inf"))),
+            F.lit(mr),
+        ).alias("bound"),
         F.expr(key_expr).alias("home_key"),
     )
     # queries whose home cell holds no images never reach p1: recover them
-    # with a BROADCAST anti join against the (small) part_keys table
+    # with a BROADCAST anti join against the (small) part_keys table.
+    # (With a finite max_radius a query CAN also vanish from p1 because all
+    # home-cell points are out of radius — those queries are NOT in
+    # bound_rows; recover them through the same anti join on p1 query ids.)
     absent = (
         q_home.join(part_keys, "key", "left_anti")
         .select(
             "query_id", "x", "y",
-            F.lit(float("inf")).alias("bound"),
+            F.lit(mr).alias("bound"),
             F.col("key").alias("home_key"),
         )
     )
+    if np.isfinite(mr):
+        emptied = (
+            q_home.join(part_keys, "key", "left_semi")
+            .join(
+                F.broadcast(p1_topk.select("query_id").distinct()),
+                "query_id",
+                "left_anti",
+            )
+            .select(
+                "query_id", "x", "y",
+                F.lit(mr).alias("bound"),
+                F.col("key").alias("home_key"),
+            )
+        )
+        absent = absent.unionByName(emptied)
     q_b = bound_rows.unionByName(absent)
     p2_cand = _knn_candidates(spark, q_b, stats, k, exclude_home=True, spread=False)
-    p2_cand = (
-        p2_cand.join(part_keys, "key")
-        .select("query_id", "x", "y", "part_key")
-        .persist()
+    p2_cand = _register_cache(
+        p2_cand.join(part_keys, "key").select("query_id", "x", "y", "part_key")
     )
-    p2_cand.count()  # materialize: consumed by the probe AND two filters
+    # ONE materialization job: fills the p1_topk cache (upstream) and the
+    # p2_cand cache (consumed by the probe AND two broadcast subqueries)
+    p2_cand.count()
     # probe only the cells phase 2 actually touches — without this the
     # whole corpus re-shuffles for a handful of boundary queries
     probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
@@ -468,7 +643,7 @@ def _knn_join_on_index(
     p2 = (
         p2_cand.groupby("part_key")
         .cogroup(img_probe.groupby("part_key"))
-        .applyInPandas(_make_knn_group(k), schema=schema)
+        .applyInPandas(_make_knn_group(k, max_radius=max_radius), schema=schema)
     )
 
     # re-rank ONLY queries that phase 2 probed (broadcast semi/anti joins —
@@ -486,8 +661,8 @@ def _knn_join_on_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "image_id", "dist", F.col("rank").cast("int"))
     )
-    # note: p1_topk/p2_cand stay persisted until Spark's LRU evicts them —
-    # they must outlive the (lazy) returned plan's execution
+    # p1_topk/p2_cand stay persisted until the NEXT join call releases them
+    # (they must outlive the lazy returned plan's execution)
     return untouched.unionByName(reranked)
 
 
@@ -545,9 +720,17 @@ class GeoIndex:
             )
         )
 
-    def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
+    def knn_join(
+        self, queries: DataFrame, k: int = 8, max_radius: float = float("inf")
+    ) -> DataFrame:
         return _knn_join_on_index(
-            self.spark, self.img_salted, self.stats, self.part_keys, queries, k
+            self.spark,
+            self.img_salted,
+            self.stats,
+            self.part_keys,
+            queries,
+            k,
+            max_radius=max_radius,
         )
 
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
@@ -692,12 +875,17 @@ def pip_join(
     images: DataFrame,
     polygons: DataFrame,
     level: int = 6,
+    mode: str = "broadcast",
 ) -> DataFrame:
     """(image_id, poly_id) pairs where the image point lies inside the
-    polygon (even-odd ray cast; SURVEY §2.4).  Polygons are the small side:
-    their covering cells are enumerated driver-side and broadcast, so the
-    only shuffle is the images' groupBy — the equi-join on cell_id is
-    broadcast, and refinement is a vectorized Arrow kernel."""
+    polygon (even-odd ray cast; SURVEY §2.4).
+
+    mode="broadcast" (default, small polygon tables): covering cells are
+    enumerated driver-side and broadcast, so the only shuffle is the
+    images' groupBy.  mode="distributed" (large polygon tables): identical
+    semantics with NO driver-side polygon state — see pip_join_distributed."""
+    if mode == "distributed":
+        return pip_join_distributed(spark, images, polygons, level)
     poly_pdf = polygons.toPandas()
     edges = _polygon_arrays(poly_pdf)
     # covering cells per polygon bbox at `level` (coarse prefilter)
@@ -733,6 +921,108 @@ def pip_join(
                     yield g.loc[inside, ["image_id", "poly_id"]]
 
     return cand.mapInPandas(refine, schema="image_id string, poly_id string")
+
+
+def pip_join_distributed(
+    spark: SparkSession,
+    images: DataFrame,
+    polygons: DataFrame,
+    level: int = 6,
+) -> DataFrame:
+    """Point-in-polygon for LARGE polygon tables: no driver-side polygon
+    state, no broadcast of polygon geometry.
+
+    Plan (all shuffles are equi-joins on bounded keys):
+      1. edges from the vertex table with a window (next vertex per ring,
+         wrapping) — one shuffle on (poly_id, ring);
+      2. polygon bboxes -> covering cells exploded with built-in
+         sequence()/transform() (the raster_vector_join pattern);
+      3. candidates = images equi-joined to cover cells on cell_id;
+      4. refinement: cogroup candidates x edges on poly_id, vectorized
+         even-odd ray cast per group (the same kernel as the broadcast
+         path, so results are identical).
+    Skew note: a continent-sized polygon makes one cogroup group large;
+    the kernel chunks the point side, and the candidate prefilter (bbox
+    cover cells) keeps the group to points near the polygon."""
+    n = 1 << level
+
+    wcnt = Window.partitionBy("poly_id", "ring")
+    v = polygons.withColumn("cnt", F.count("*").over(wcnt))
+    a = v.alias("a")
+    b = v.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.poly_id") == F.col("b.poly_id"))
+        & (F.col("a.ring") == F.col("b.ring"))
+        & (F.col("b.seq") == (F.col("a.seq") + 1) % F.col("a.cnt")),
+    ).select(
+        F.col("a.poly_id").alias("poly_id"),
+        F.col("a.x").alias("x1"),
+        F.col("a.y").alias("y1"),
+        F.col("b.x").alias("x2"),
+        F.col("b.y").alias("y2"),
+    )
+
+    bbox = polygons.groupBy("poly_id").agg(
+        F.min("x").alias("mnx"),
+        F.min("y").alias("mny"),
+        F.max("x").alias("mxx"),
+        F.max("y").alias("mxy"),
+    )
+
+    def axis_sql(expr: str, vmin: float, vspan: float) -> str:
+        return (
+            f"least(CAST({n - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+            f"CAST(floor((({expr}) - {cells.sql_double(vmin)}) / "
+            f"{cells.sql_double(vspan)} * {cells.sql_double(float(n))}) AS BIGINT)))"
+        )
+
+    cover = bbox.select(
+        "poly_id",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(
+                    sequence({axis_sql('mny', cells.Y_MIN, cells.Y_SPAN)},
+                             {axis_sql('mxy', cells.Y_MIN, cells.Y_SPAN)}),
+                    iy -> transform(
+                      sequence({axis_sql('mnx', cells.X_MIN, cells.X_SPAN)},
+                               {axis_sql('mxx', cells.X_MIN, cells.X_SPAN)}),
+                      ix -> iy * CAST({n} AS BIGINT) + ix)))"""
+            )
+        ).alias("cell_id"),
+    )
+
+    img = with_cell(with_coords(images).select("image_id", "x", "y"), level)
+    cand = img.join(cover, "cell_id").select("image_id", "x", "y", "poly_id")
+
+    def refine(points: pd.DataFrame, edge_rows: pd.DataFrame) -> pd.DataFrame:
+        if len(points) == 0 or len(edge_rows) == 0:
+            return pd.DataFrame({"image_id": [], "poly_id": []})
+        e = edge_rows[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+        out = []
+        pid = edge_rows["poly_id"].iloc[0]
+        for c0 in range(0, len(points), 8192):  # memory-bounding chunks
+            g = points.iloc[c0 : c0 + 8192]
+            inside = ray_cast_inside(
+                g["x"].to_numpy(np.float64), g["y"].to_numpy(np.float64), e
+            )
+            if inside.any():
+                out.append(
+                    pd.DataFrame(
+                        {"image_id": g["image_id"].to_numpy()[inside], "poly_id": pid}
+                    )
+                )
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame({"image_id": [], "poly_id": []})
+        )
+
+    return (
+        cand.groupby("poly_id")
+        .cogroup(edges.groupby("poly_id"))
+        .applyInPandas(refine, schema="image_id string, poly_id string")
+    )
 
 
 # -------------------------------------------------- raster <-> vector join

@@ -74,7 +74,8 @@ class SnapshotStore:
         return files, n
 
     def _commit(self, files: list[str], n_rows: int, parent: int | None,
-                base_rows: int, delta_rows: int, op: str) -> int:
+                base_rows: int, delta_rows: int, op: str,
+                extra: dict | None = None) -> int:
         snap_id = (self.latest_snapshot_id() or 0) + 1
         man = {
             "snapshot_id": snap_id,
@@ -85,6 +86,8 @@ class SnapshotStore:
             "base_rows": base_rows,
             "delta_rows": delta_rows,
         }
+        if extra:
+            man.update(extra)
         tmp = self._manifest_path(snap_id).with_suffix(".tmp")
         tmp.write_text(json.dumps(man, indent=1))
         tmp.rename(self._manifest_path(snap_id))
@@ -123,9 +126,17 @@ class SnapshotStore:
 
     def compact(self, spark: SparkSession) -> int:
         parent = self.latest_snapshot_id()
+        man = self.manifest(parent)
         df = self.read(spark, parent)
         files, n = self._write_files(df, "base")
-        return self._commit(files, n, parent, base_rows=n, delta_rows=0, op="compact")
+        # lineage keys that must SURVIVE compaction: the ingested-epoch
+        # ledger drives streaming exactly-once (a replayed micro-batch after
+        # a crash is skipped by epoch id) — wiping it on compact would let a
+        # replay re-append rows (see sparkkd.streaming.stream_ingest)
+        extra = {k: man[k] for k in ("epochs",) if k in man}
+        return self._commit(
+            files, n, parent, base_rows=n, delta_rows=0, op="compact", extra=extra
+        )
 
     def expire_unreferenced(self) -> int:
         """Remove data dirs not referenced by any manifest (GC)."""

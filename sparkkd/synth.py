@@ -257,6 +257,86 @@ def fixtures_root() -> Path:
     return Path(os.environ.get("SPARKKD_FIXTURES", "/root/repo/_fixtures"))
 
 
+# --------------------------------------------------------------- poses (SE3)
+
+# sf tag -> (n_poses, n_pose_queries): sized like the image corpus
+POSE_SIZES = {
+    "sf0.001": (2_000, 200),
+    "sf0.01": (20_000, 2_000),
+    "sf0.1": (200_000, 20_000),
+    "sf1": (1_000_000, 100_000),
+    "sf2": (4_000_000, 400_000),
+}
+
+POSE_FIXTURE_VERSION = 1
+
+# orientation cluster: 20% of poses near one quaternion (hot-cell skew for
+# the SO(3) grid, mirroring the reference's clustered samplers)
+_POSE_CLUSTER_FRAC = 0.2
+_TRANS_SPAN = 50.0
+
+
+def _sample_poses(n: int, rng: np.random.Generator):
+    """Unit quaternions (uniform via normalized Gaussians + one cluster) and
+    translations (uniform box + matching cluster)."""
+    q = rng.normal(size=(n, 4))
+    n_c = int(n * _POSE_CLUSTER_FRAC)
+    base = np.array([0.9, 0.1, 0.3, 0.28])
+    q[:n_c] = base[None, :] + rng.normal(0.0, 0.05, (n_c, 4))
+    q /= np.sqrt((q * q).sum(axis=1, keepdims=True))
+    t = rng.uniform(-_TRANS_SPAN, _TRANS_SPAN, (n, 3))
+    t[:n_c] = rng.normal(0.0, 1.0, (n_c, 3)) + 7.0
+    order = rng.permutation(n)
+    return q[order], t[order]
+
+
+def _pose_table(ids: np.ndarray, q: np.ndarray, t: np.ndarray, id_name: str) -> pa.Table:
+    return pa.table(
+        {
+            id_name: pa.array(ids, pa.string()),
+            "qw": pa.array(q[:, 0], pa.float64()),
+            "qx": pa.array(q[:, 1], pa.float64()),
+            "qy": pa.array(q[:, 2], pa.float64()),
+            "qz": pa.array(q[:, 3], pa.float64()),
+            "tx": pa.array(t[:, 0], pa.float64()),
+            "ty": pa.array(t[:, 1], pa.float64()),
+            "tz": pa.array(t[:, 2], pa.float64()),
+        }
+    )
+
+
+def gen_poses(n: int, seed: int = 52) -> pa.Table:
+    q, t = _sample_poses(n, np.random.default_rng(seed))
+    ids = np.array([f"pose{i:08d}" for i in range(n)])
+    return _pose_table(ids, q, t, "pose_id")
+
+
+def gen_pose_queries(nq: int, seed: int = 53) -> pa.Table:
+    q, t = _sample_poses(nq, np.random.default_rng(seed))
+    ids = np.array([f"pq{i:08d}" for i in range(nq)])
+    return _pose_table(ids, q, t, "query_id")
+
+
+def ensure_pose_fixtures(tag: str) -> Path:
+    """Idempotently materialize the pose fixtures (separate manifest from
+    the image fixtures so adding poses never regenerates image corpora)."""
+    n, nq = POSE_SIZES[tag]
+    out = fixtures_root() / tag
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = out / "poses_manifest.json"
+    want = {"version": POSE_FIXTURE_VERSION, "n": n, "nq": nq}
+    if manifest.exists():
+        try:
+            if json.loads(manifest.read_text()) == want:
+                return out
+        except Exception:
+            pass
+    pq.write_table(gen_poses(n), out / "poses.parquet")
+    pq.write_table(gen_pose_queries(nq), out / "pose_queries.parquet")
+    manifest.write_text(json.dumps(want))
+    return out
+
+
 def sf_tag(sf_dir: str) -> str:
     """'/root/testdata/sf0.01' -> 'sf0.01'."""
     name = Path(sf_dir).name

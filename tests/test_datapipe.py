@@ -70,25 +70,94 @@ def test_minhash_lsh_finds_near_dups_and_verifies_exactly(spark, docs, docs_pdf)
         assert r["jacc"] == jacc(r["doc_a"], r["doc_b"])
 
 
+def scalar_simhash(text: str) -> int:
+    """Scalar oracle for the md5-derived SimHash definition: bits 0..31
+    from md5 hex chars 9..16, bits 32..63 from chars 1..8."""
+    from collections import Counter
+
+    votes = [0] * 64
+    for tok, cnt in Counter(text.split(" ")).items():
+        hexd = hashlib.md5(tok.encode()).hexdigest()
+        hi = int(hexd[0:8], 16)
+        lo = int(hexd[8:16], 16)
+        h = (hi << 32) | lo
+        for b in range(64):
+            votes[b] += cnt if (h >> b) & 1 else -cnt
+    fp = sum(1 << b for b in range(64) if votes[b] > 0)
+    return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+
 def test_simhash_matches_scalar_oracle(spark, docs, docs_pdf):
     res = datapipe.simhash64(docs).toPandas().set_index("doc_id")
-
-    def scalar_simhash(text):
-        votes = [0] * 64
-        toks = text.split(" ")
-        from collections import Counter
-
-        for tok, cnt in Counter(toks).items():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
-            )
-            for b in range(64):
-                votes[b] += cnt if (h >> b) & 1 else -cnt
-        fp = sum(1 << b for b in range(64) if votes[b] > 0)
-        return fp - (1 << 64) if fp >= 1 << 63 else fp
-
     for _, row in docs_pdf.head(40).iterrows():
         assert res.loc[row["doc_id"], "simhash"] == scalar_simhash(row["text"])
+
+
+def test_minhash_signatures_match_scalar_oracle(spark, docs, docs_pdf):
+    """Vectorized JVM MinHash == scalar python md5 oracle, row for row."""
+    res = (
+        datapipe.minhash_signatures(docs, n_perm=8)
+        .toPandas()
+        .set_index(["doc_id", "perm"])
+    )
+
+    def scalar_sig(text, n_perm=8):
+        toks = text.split(" ")
+        sh = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+        return [
+            min(
+                int(hashlib.md5(f"{p}:{s}".encode()).hexdigest()[:15], 16)
+                for s in sh
+            )
+            for p in range(n_perm)
+        ]
+
+    for _, row in docs_pdf.head(25).iterrows():
+        want = scalar_sig(row["text"])
+        for p in range(8):
+            assert res.loc[(row["doc_id"], p), "minhash"] == want[p]
+
+
+def test_ngram_prefix_filter_equals_naive_join(spark):
+    """Prefix filtering must not change results — including under a hot
+    'stop shingle' shared by every doc (the round-1 quadratic case)."""
+    from pyspark.sql import functions as F
+
+    texts = [f"zzz{i:03d} unique words {i} here" + " common" * 3 for i in range(40)]
+    texts += ["near dup text alpha", "near dup text alpha", "near dup text beta"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    d = spark.createDataFrame(pdf)
+    got = (
+        datapipe.ngram_jaccard_pairs(d, threshold=0.4)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # naive exact join (no prefix filter) as the oracle
+    sh = d.select(
+        "doc_id", F.explode(F.expr(datapipe._shingles_expr("text", 3))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("m"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    want = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")), "doc_b")
+        .withColumn(
+            "jacc",
+            F.round(F.col("c") / (F.col("ma") + F.col("mb") - F.col("c")), 6),
+        )
+        .filter(F.col("jacc") >= 0.4)
+        .select("doc_a", "doc_b", "jacc")
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
 
 
 def test_simhash_near_dup_property(spark, docs):
@@ -109,12 +178,13 @@ def test_doc_fingerprint_matches_scalar_horner(spark, docs, docs_pdf):
 
 def test_ann_cosine_topk_matches_numpy_oracle(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    res = datapipe.ann_cosine_topk(emb, k=5).toPandas()
+    # block_rows small enough to force the multi-block distributed merge
+    res = datapipe.ann_cosine_topk(emb, k=5, block_rows=40).toPandas()
     pdf = emb.toPandas()
     M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     ids = pdf["vec_id"].to_numpy(np.int64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    S = np.round(Mn @ Mn.T, 6)
+    S = datapipe._round6_away(Mn @ Mn.T)
     for qi in range(min(30, len(ids))):
         s = S[qi].copy()
         s[qi] = -np.inf

@@ -1,0 +1,120 @@
+"""Distributed SO(3)/SE(3) kNN joins vs brute-force NumPy oracles
+(the reference's own test strategy: exact-NN vs partial_sort over all
+points, test/kdtree_test.cpp:95-104, applied to the SO3/SE3 spaces of the
+active matrix test/kdtree_test.cpp:385-417)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkkd import so3engine, synth
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def pose_data(spark):
+    root = synth.ensure_pose_fixtures("sf0.001")
+    poses = spark.read.parquet(str(root / "poses.parquet"))
+    queries = spark.read.parquet(str(root / "pose_queries.parquet"))
+    return poses, queries, poses.toPandas(), queries.toPandas()
+
+
+def _angular_matrix(Q, P):
+    dot = np.abs(Q @ P.T)
+    return np.arccos(np.minimum(1.0, dot))
+
+
+def _brute_topk(qids, pids, D, k):
+    order_p = np.argsort(pids)
+    rows = []
+    for i, qid in enumerate(qids):
+        srt = np.lexsort((pids, D[i]))[:k]
+        for r, j in enumerate(srt):
+            rows.append((qid, pids[j], D[i, j], r + 1))
+    return pd.DataFrame(rows, columns=["query_id", "pose_id", "d", "rank"])
+
+
+def test_so3_knn_join_exact_vs_brute_force(spark, pose_data):
+    poses, queries, ppdf, qpdf = pose_data
+    k = 8
+    res = (
+        so3engine.so3_knn_join(spark, poses, queries, k=k, n_poses_hint=len(ppdf))
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    P = ppdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    Q = qpdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    D = _angular_matrix(Q, P)
+    want = _brute_topk(
+        qpdf["query_id"].to_numpy(), ppdf["pose_id"].to_numpy(), D, k
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(res) == len(want) == len(qpdf) * k
+    assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert np.allclose(res["ang"].to_numpy(), want["d"].to_numpy(), atol=1e-12)
+
+
+def test_so3_knn_join_salted_invariance(spark, pose_data):
+    """Forcing aggressive salting must not change results."""
+    poses, queries, ppdf, _ = pose_data
+    q = queries.limit(40)
+    a = (
+        so3engine.so3_knn_join(spark, poses, q, k=4, n_poses_hint=len(ppdf))
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        so3engine.so3_knn_join(
+            spark, poses, q, k=4, max_cell_rows=64, n_poses_hint=len(ppdf)
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (a["pose_id"] == b["pose_id"]).all()
+    assert np.array_equal(a["ang"].to_numpy(), b["ang"].to_numpy())
+
+
+def test_se3_knn_join_exact_vs_brute_force(spark, pose_data):
+    poses, queries, ppdf, qpdf = pose_data
+    k, rw, tw = 4, 2.0, 0.5
+    res = (
+        so3engine.se3_knn_join(
+            spark, poses, queries, k=k, rot_weight=rw, trans_weight=tw,
+            n_poses_hint=len(ppdf),
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    P = ppdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    Q = qpdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    PT = ppdf[["tx", "ty", "tz"]].to_numpy(np.float64)
+    QT = qpdf[["tx", "ty", "tz"]].to_numpy(np.float64)
+    D = rw * _angular_matrix(Q, P) + tw * np.sqrt(
+        ((QT[:, None, :] - PT[None, :, :]) ** 2).sum(axis=2)
+    )
+    want = _brute_topk(
+        qpdf["query_id"].to_numpy(), ppdf["pose_id"].to_numpy(), D, k
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(res) == len(want) == len(qpdf) * k
+    assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert np.allclose(res["dist"].to_numpy(), want["d"].to_numpy(), atol=1e-12)
+
+
+def test_canon_sign_np_matches_sql_rule(spark):
+    q = np.array(
+        [
+            [0.5, 0.1, 0.2, 0.3],
+            [-0.5, 0.1, 0.2, 0.3],
+            [0.0, -0.4, 0.2, 0.3],
+            [0.0, 0.0, 0.7, -0.1],
+            [0.0, 0.0, 0.0, -1.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    s_np = so3engine.canon_sign_np(q)
+    pdf = pd.DataFrame(q, columns=["qw", "qx", "qy", "qz"])
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        f"{so3engine.canon_sign_sql()} AS s"
+    )
+    s_sql = np.array([r["s"] for r in sdf.collect()])
+    assert np.array_equal(s_np, s_sql)

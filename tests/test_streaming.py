@@ -51,6 +51,44 @@ def test_stream_ingest_appends_snapshots(spark, tmp_path):
         q2.stop()
 
 
+def test_epoch_ledger_survives_compaction(spark, tmp_path):
+    """Exactly-once across compaction: compact() must carry the ingested-
+    epoch ledger into the new manifest, so a micro-batch replayed after a
+    crash (checkpoint loss) post-compaction is still skipped."""
+    import shutil
+
+    src = tmp_path / "in3"
+    src.mkdir()
+    store = SnapshotStore(tmp_path / "snap3")
+    _write_batch(src, 60, 45, "b1.parquet")
+    ckpt = tmp_path / "ckpt_epoch"
+    q = streaming.stream_ingest(
+        spark, str(src), store, level=5, checkpoint_dir=str(ckpt), compact=True
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, 80, 46, "b2.parquet")  # 80 >= 60 -> compaction fires
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    man = store.manifest()
+    assert man["operation"] == "compact"
+    assert man.get("epochs") == [0, 1]  # ledger survived the compaction
+    assert store.read(spark).count() == 140
+
+    # crash scenario: checkpoint wiped -> the file source replays everything
+    # as already-seen epochs; the ledger must dedupe them
+    shutil.rmtree(ckpt)
+    q2 = streaming.stream_ingest(
+        spark, str(src), store, level=5, checkpoint_dir=str(ckpt), compact=True
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert store.read(spark).count() == 140  # no duplicated rows
+
+
 def test_dirty_cells_tracked(spark, tmp_path):
     src = tmp_path / "in2"
     src.mkdir()
