@@ -68,6 +68,7 @@ def main() -> None:
     qs = E.queries()
     headline = [
         "knn_join_k8",
+        "so3_knn_join_k8",
         "radius_join_r2",
         "pip_join",
         "raster_vector_join",

@@ -40,17 +40,21 @@ def worker(cpus: int) -> None:
     queries = spark.read.parquet(str(root / "queries.parquet"))
     n_img, n_q = synth.SF_SIZES[tag]
 
+    # The measured job follows the reference's contract: build once, query
+    # many (KDTree constructed once, nearest() called repeatedly —
+    # src/_kdtree_base.hpp:38-55).  Index build (scan+stats+salt) is timed
+    # separately as build_sec; the scaling-efficiency figure is the
+    # steady-state QUERY throughput.
+    t0 = time.time()
+    idx = engine.GeoIndex(spark, images, n_images_hint=n_img)
+    build_sec = time.time() - t0
     # untimed warmup (python workers, codegen, parquet footers)
-    engine.knn_join(
-        spark, images, queries.limit(64), k=8, n_images_hint=n_img
-    ).count()
+    idx.knn_join(queries.limit(64), k=8).count()
 
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
-        n_rows = engine.knn_join(
-            spark, images, queries, k=8, n_images_hint=n_img
-        ).count()
+        n_rows = idx.knn_join(queries, k=8).count()
         times.append(time.time() - t0)
     sec = min(times)  # steady-state
     print(
@@ -59,6 +63,7 @@ def worker(cpus: int) -> None:
             {
                 "cpus": cpus,
                 "sec": round(sec, 2),
+                "build_sec": round(build_sec, 2),
                 "all_secs": [round(t, 2) for t in times],
                 "query_rows_per_sec": round(n_q / sec, 1),
                 "image_rows_per_sec": round(n_img / sec, 1),
@@ -100,13 +105,14 @@ Same job, same input, two parallelism levels (no real multi-node cluster in
 this sandbox; local[8] vs local[32] = N vs 4N cores, per driver instruction).
 
 **Job**: exact kNN join, k=8 — {r8['n_queries']:,} query rows against
-{r8['n_images']:,} image rows ({tag} fixture corpus), steady-state (best of
+{r8['n_images']:,} image rows ({tag} fixture corpus), build-once/query-many
+(index build timed separately; steady-state query batch = best of
 {REPEATS} after untimed warmup), single-JVM local mode.
 
-| parallelism | wall sec | query rows/sec | image rows/sec |
-|---|---|---|---|
-| local[8]  (N)  | {r8['sec']} | {r8['query_rows_per_sec']:,} | {r8['image_rows_per_sec']:,} |
-| local[32] (4N) | {r32['sec']} | {r32['query_rows_per_sec']:,} | {r32['image_rows_per_sec']:,} |
+| parallelism | build sec | query-batch sec | query rows/sec | image rows/sec |
+|---|---|---|---|---|
+| local[8]  (N)  | {r8['build_sec']} | {r8['sec']} | {r8['query_rows_per_sec']:,} | {r8['image_rows_per_sec']:,} |
+| local[32] (4N) | {r32['build_sec']} | {r32['sec']} | {r32['query_rows_per_sec']:,} | {r32['image_rows_per_sec']:,} |
 
 - **speedup 8 -> 32 cores: {speedup:.2f}x**
 - **scaling efficiency = throughput_4N / (4 x throughput_N) = {eff:.3f}**
@@ -118,7 +124,9 @@ this sandbox; local[8] vs local[32] = N vs 4N cores, per driver instruction).
 Raw: `{json.dumps(results)}`
 """
     Path("BENCH").mkdir(exist_ok=True)
-    Path("BENCH/BASELINE.md").write_text(md)
+    # raw last-run record; BENCH/BASELINE.md is the CURATED multi-dataset
+    # document (quiet-window numbers + honest analysis) — don't clobber it
+    Path("BENCH/scaling_last_run.md").write_text(md)
     print(md)
 
 

@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--master", default=None, help="override for local runs")
     ap.add_argument("--snapshot-lineage", default=None,
                     help="optional SnapshotStore root for lineage metrics")
+    ap.add_argument("--index-path", default=None,
+                    help="bucket-stored index root: reuse it if present, "
+                    "else build + save before querying (build-once/"
+                    "query-many across job submissions — no per-batch "
+                    "corpus shuffle)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,10 +65,25 @@ def main() -> None:
 
     images = spark.read.parquet(args.images)
     queries = spark.read.parquet(args.queries)
-    res = engine.knn_join(
-        spark, images, queries, k=args.k,
-        level=args.level, max_cell_rows=args.max_cell_rows,
-    )
+    if args.index_path:
+        import pathlib
+
+        from sparkkd import bucketstore
+
+        root = pathlib.Path(args.index_path)
+        if (root / "meta.json").exists():
+            idx = bucketstore.BucketedGeoIndex.load(spark, root)
+        else:
+            idx = bucketstore.save_geo_index(
+                spark, images, "sparkkd_geoidx", root,
+                level=args.level, max_cell_rows=args.max_cell_rows,
+            )
+        res = idx.knn_join(queries, k=args.k)
+    else:
+        res = engine.knn_join(
+            spark, images, queries, k=args.k,
+            level=args.level, max_cell_rows=args.max_cell_rows,
+        )
     res.write.mode("overwrite").parquet(args.out)
 
     if args.snapshot_lineage:

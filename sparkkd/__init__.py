@@ -27,6 +27,13 @@ engine     Spark pipelines: build_index, knn_join, radius_join, pip_join,
            raster-vector join, salting, lineage
 snapshots  parquet snapshot/manifest layer with resume + delta compaction
 datapipe   training-data ops: dedup (exact/minhash/simhash), ANN, text stats
+so3engine  distributed SO(3)/SE(3) kNN joins (antipodal R^4 reduction,
+           weighted compound metric) — the reference's rotation spaces
+bucketstore bucket-stored geo index: build once, persist bucketBy(part_key),
+           query many with no per-batch corpus shuffle
+functions  scalar/space function library (F1-F11 incl. rotateCoeffs,
+           projectToAxis), single-machine SO(3) kNN
+streaming  Structured Streaming ingest -> snapshot forest; windowed aggs
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -354,13 +354,21 @@ def _salted_images(spark: SparkSession, img: DataFrame, stats: CellStats) -> Dat
 
 
 def _candidate_part_keys(stats: CellStats) -> pd.DataFrame:
-    """(key, part_key) exploded over salts — broadcast-joined to candidates
-    so a probed cell probes ALL of its salted sub-trees."""
+    """(key, part_key, salt_n) exploded over salts — broadcast-joined to
+    candidates so a probed cell probes ALL of its salted sub-trees; salt_n
+    lets the phase-1 kernel finalize ranks for single-salt cells without a
+    corpus-sized window exchange."""
     reps = stats.salt_n
     key = np.repeat(stats.keys, reps)
     off = np.concatenate([[0], np.cumsum(reps)[:-1]])
     salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
-    return pd.DataFrame({"key": key, "part_key": (key << SALT_SHIFT) + salt})
+    return pd.DataFrame(
+        {
+            "key": key,
+            "part_key": (key << SALT_SHIFT) + salt,
+            "salt_n": np.repeat(reps, reps),
+        }
+    )
 
 
 # ------------------------------------------------------- candidate pruning
@@ -393,8 +401,38 @@ def _knn_candidates(
     exclude_home=True the query's own cell (its ``home_key`` column) is
     skipped — it was already fully probed in phase 1.
     """
+    # two-level pruning index: stats cells grouped by their ancestor at a
+    # coarse level (group bbox = union of member bboxes).  A query first
+    # tests ~G group boxes; only groups whose box beats the bound expand to
+    # their members.  With phase-1 bounds (tiny vs cell size) most queries
+    # touch 1-4 groups, so the O(Q x C) sweep — the measured hot spot at
+    # 1.6M x 7k cells — collapses to O(Q x G) + epsilon.
+    key_levels = (stats.keys >> LEVEL_SHIFT).astype(np.int64)
+    key_cells = (stats.keys & ((1 << LEVEL_SHIFT) - 1)).astype(np.int64)
+    coarse_level = max(1, stats.level - 3)
+    anc = np.empty(len(stats.keys), np.int64)
+    for lv in np.unique(key_levels):
+        m = key_levels == lv
+        anc[m] = _coarsen(key_cells[m], int(lv), coarse_level)
+    g_ids, g_inv = np.unique(anc, return_inverse=True)
+    G = len(g_ids)
+    g_mnx = np.full(G, np.inf)
+    g_mny = np.full(G, np.inf)
+    g_mxx = np.full(G, -np.inf)
+    g_mxy = np.full(G, -np.inf)
+    np.minimum.at(g_mnx, g_inv, stats.min_x)
+    np.minimum.at(g_mny, g_inv, stats.min_y)
+    np.maximum.at(g_mxx, g_inv, stats.max_x)
+    np.maximum.at(g_mxy, g_inv, stats.max_y)
+    g_order = np.argsort(g_inv, kind="stable")  # member idx grouped by g
+    g_start = np.searchsorted(g_inv[g_order], np.arange(G + 1))
+
     bc = spark.sparkContext.broadcast(
-        (stats.keys, stats.counts, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
+        (
+            stats.keys, stats.counts,
+            stats.min_x, stats.min_y, stats.max_x, stats.max_y,
+            g_mnx, g_mny, g_mxx, g_mxy, g_order, g_start,
+        )
     )
     has_bound = "bound" in queries.columns
     if spread:
@@ -404,8 +442,12 @@ def _knn_candidates(
         queries = queries.repartition(_parallelism(spark))
 
     def gen(batches):
-        keys, counts, mnx, mny, mxx, mxy = bc.value
+        (
+            keys, counts, mnx, mny, mxx, mxy,
+            gmnx, gmny, gmxx, gmxy, gorder, gstart,
+        ) = bc.value
         C = len(keys)
+        G_ = len(gmnx)
         for pdf in batches:
             if len(pdf) == 0 or C == 0:
                 continue
@@ -421,19 +463,19 @@ def _knn_candidates(
                 if exclude_home
                 else None
             )
-            chunk = max(64, 2_000_000 // max(C, 1))
+            chunk = max(256, 8_000_000 // max(G_, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
-                px, py = qx[sl][:, None], qy[sl][:, None]
-                dmin = cells.bbox_min_dist(px, py, mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :])
+                px, py = qx[sl], qy[sl]
                 gb = given[sl]
                 bound = gb.copy()
                 nb = np.nonzero(~np.isfinite(gb))[0]
                 if len(nb) > 0:
                     # count-bound only for the (few) rows lacking a phase-1
-                    # bound — never the whole chunk
+                    # bound — full member sweep for just those rows
                     dmax = cells.bbox_max_dist(
-                        px[nb], py[nb], mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :]
+                        px[nb][:, None], py[nb][:, None],
+                        mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :],
                     )
                     order = np.argsort(dmax, axis=1, kind="stable")
                     cum = np.cumsum(counts[order], axis=1)
@@ -445,10 +487,33 @@ def _knn_candidates(
                         enough, np.take_along_axis(dmax, order, axis=1)[rows, need], np.inf
                     )
                     bound[nb] = cb
-                adm = dmin <= bound[:, None]
-                if home is not None:
-                    adm &= keys[None, :] != home[sl][:, None]
-                qi, ci = np.nonzero(adm)
+                # level 1: group boxes
+                dmin_g = cells.bbox_min_dist(
+                    px[:, None], py[:, None],
+                    gmnx[None, :], gmny[None, :], gmxx[None, :], gmxy[None, :],
+                )
+                adm_g = dmin_g <= bound[:, None]
+                out_qi: list[np.ndarray] = []
+                out_ci: list[np.ndarray] = []
+                for g in np.nonzero(adm_g.any(axis=0))[0]:
+                    rows_g = np.nonzero(adm_g[:, g])[0]
+                    mem = gorder[gstart[g] : gstart[g + 1]]
+                    dmin = cells.bbox_min_dist(
+                        px[rows_g][:, None], py[rows_g][:, None],
+                        mnx[mem][None, :], mny[mem][None, :],
+                        mxx[mem][None, :], mxy[mem][None, :],
+                    )
+                    adm = dmin <= bound[rows_g][:, None]
+                    if home is not None:
+                        adm &= keys[mem][None, :] != home[sl][rows_g][:, None]
+                    qi_l, ci_l = np.nonzero(adm)
+                    if len(qi_l) > 0:
+                        out_qi.append(rows_g[qi_l])
+                        out_ci.append(mem[ci_l])
+                if not out_qi:
+                    continue
+                qi = np.concatenate(out_qi)
+                ci = np.concatenate(out_ci)
                 out = pdf.iloc[qi + c0][["query_id", "x", "y"]].copy()
                 out["key"] = keys[ci]
                 yield out
@@ -461,19 +526,31 @@ def _knn_candidates(
 # ---------------------------------------------------------------- kNN join
 
 
-def _make_knn_group(k: int, carry_xy: bool = False, max_radius: float = np.inf):
+def _make_knn_group(
+    k: int,
+    carry_xy: bool = False,
+    max_radius: float = np.inf,
+    emit_rank: bool = False,
+):
     """Cogroup kernel: build a k-d tree over the cell's images, run the
     batched bounded kNN for the cell's candidate queries (ties broken by
     image_id lexicographic rank so the global merge is deterministic).
     carry_xy=True passes the query coordinates through (lets phase 2 derive
     its inputs from phase-1 output without re-joining the query table).
     max_radius seeds the admission bound (reference Q2's maxRadius,
-    ``src/_kdtree_median.hpp:456-472``)."""
+    ``src/_kdtree_median.hpp:456-472``).
+    emit_rank=True additionally emits per-query (rank, cnt, final): for a
+    SINGLE-SALT home cell the group holds the query's entire home probe, so
+    rank/cnt are final right here and the corpus-sized window exchange is
+    skipped for those rows (final=false rows — multi-salt cells — still
+    merge through the window)."""
 
     def knn_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = {"query_id": [], "image_id": [], "dist": []}
         if carry_xy:
             cols.update({"x": [], "y": []})
+        if emit_rank:
+            cols.update({"rank": [], "cnt": [], "final": [], "home_edge": []})
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(cols)
         pts = np.column_stack(
@@ -495,6 +572,44 @@ def _make_knn_group(k: int, carry_xy: bool = False, max_radius: float = np.inf):
         if carry_xy:
             out["x"] = qpts[qi, 0]
             out["y"] = qpts[qi, 1]
+        if emit_rank:
+            # kernel output is sorted by (qi, dist, tie): in-group ranks
+            if len(qi) > 0:
+                starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+                lens = np.diff(np.append(starts, len(qi)))
+                out["rank"] = (
+                    np.arange(len(qi)) - np.repeat(starts, lens) + 1
+                ).astype(np.int32)
+                out["cnt"] = np.repeat(lens, lens).astype(np.int64)
+            else:
+                out["rank"] = np.empty(0, np.int32)
+                out["cnt"] = np.empty(0, np.int64)
+            out["final"] = np.full(
+                len(qi), bool(left["salt_n"].iloc[0] == 1), dtype=bool
+            )
+            # distance from each query to the nearest edge of its home GRID
+            # cell (decoded from the group's part_key) — phase 2's early
+            # exit: every point of every other cell is >= edge away.  The
+            # 1e-9 deg margin absorbs float rounding between this boundary
+            # arithmetic and the cell-assignment formula.  Computed here in
+            # NumPy because the SQL rendering inlines the nested-CASE key
+            # expression ~15x when Catalyst pushes the filter through the
+            # projection (measured 30 us/row interpreted — vs free here).
+            key = int(left["part_key"].iloc[0]) >> SALT_SHIFT
+            lvl = key >> LEVEL_SHIFT
+            n = 1 << lvl
+            cell = key & ((1 << LEVEL_SHIFT) - 1)
+            wx, wy = cells.X_SPAN / n, cells.Y_SPAN / n
+            lo_x = cells.X_MIN + (cell % n) * wx
+            lo_y = cells.Y_MIN + (cell // n) * wy
+            qxv, qyv = qpts[qi, 0], qpts[qi, 1]
+            out["home_edge"] = (
+                np.minimum(
+                    np.minimum(qxv - lo_x, lo_x + wx - qxv),
+                    np.minimum(qyv - lo_y, lo_y + wy - qyv),
+                )
+                - 1e-9
+            )
         return pd.DataFrame(out)
 
     return knn_group
@@ -551,54 +666,59 @@ def _knn_join_on_index(
     # This is the first descent of the reference search: it yields a TRUE
     # kth-distance bound per query, so phase 2 probes almost nothing.
     q_home = q.withColumn("key", F.expr(key_expr))
-    p1_cand = q_home.join(part_keys, "key").select("query_id", "x", "y", "part_key")
+    p1_cand = q_home.join(part_keys, "key").select(
+        "query_id", "x", "y", "part_key", "salt_n"
+    )
     p1 = (
         p1_cand.groupby("part_key")
         .cogroup(img_salted.groupby("part_key"))
         .applyInPandas(
-            _make_knn_group(k, carry_xy=True, max_radius=max_radius),
-            schema=schema + ", x double, y double",
+            _make_knn_group(k, carry_xy=True, max_radius=max_radius, emit_rank=True),
+            schema=schema
+            + ", x double, y double, rank int, cnt long, final boolean,"
+            " home_edge double",
         )
     )
-    # ONE window pass (the only Q-sized shuffle) yields rank AND the
-    # per-query bound inputs (cnt, kth distance) — no separate bounds agg
     w = Window.partitionBy("query_id").orderBy("dist", "image_id")
     wq = Window.partitionBy("query_id")
-    p1_topk = (
-        p1.withColumn("rank", F.row_number().over(w))
+    # p1 feeds the final/merge split, bound rows, the p2 exclusion AND the
+    # final union; cache it once (fills during the p2_cand materialization
+    # below — no separate count() job).
+    p1 = _register_cache(p1)
+    # single-salt home cells (the overwhelming majority): the kernel's
+    # in-group rank/cnt ARE final — those rows skip the Q-sized window
+    # exchange entirely.  Only multi-salt cells merge through the window.
+    p1_final = p1.filter(F.col("final")).drop("final")
+    p1_merge = (
+        p1.filter(~F.col("final"))
+        .drop("rank", "cnt", "final")
+        .withColumn("rank", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(wq))
-        .filter(F.col("rank") <= k)
     )
-    # p1_topk feeds bound rows, the p2 exclusion AND the final union;
-    # without caching the cogroup UDF subtree executes 3x per plan
-    # (verified via explain("formatted")).  It is tiny (<= Q*k rows).  The
-    # cache fills during the p2_cand materialization below — no separate
-    # count() job for it (round-1 ran one: pure serial-floor waste).
-    p1_topk = _register_cache(p1_topk)
+    p1_topk = p1_final.unionByName(p1_merge).filter(F.col("rank") <= k)
 
     # ---- phase 2: probe remaining cells within the bound ----------------
     # Home is always excluded: phase 1 returned min(k, |home|) rows, which
     # covers the home cell completely in both the cnt>=k and cnt<k cases.
-    # Bound rows come straight from p1_topk (rank == min(k, cnt) row) — the
-    # query coordinates were carried through the kernel, so no join back to
-    # the query table is needed.  With max_radius: phase-1 may return FEWER
-    # than min(k, cnt) rows (all under the radius cap), so the bound row is
-    # the LAST surviving rank and the bound caps at max_radius.
+    # Bound rows come straight from p1_topk: cnt counts SURVIVING candidate
+    # rows (radius-capped in the kernel), so the query's last surviving row
+    # is exactly rank == least(k, cnt) — no extra window needed.  The bound
+    # is the kth distance when cnt >= k, else inf, capped at max_radius.
     mr = float(max_radius)
-    last_rank = F.max("rank").over(wq)
-    bound_rows = p1_topk.withColumn("last_rank", last_rank).filter(
-        F.col("rank") == F.col("last_rank")
+    bound_rows = p1_topk.filter(
+        F.col("rank") == F.least(F.lit(k), F.col("cnt"))
     ).select(
         "query_id",
         "x",
         "y",
         F.least(
-            F.when(
-                (F.col("cnt") >= k) & (F.col("rank") == k), F.col("dist")
-            ).otherwise(F.lit(float("inf"))),
+            F.when(F.col("cnt") >= k, F.col("dist")).otherwise(
+                F.lit(float("inf"))
+            ),
             F.lit(mr),
         ).alias("bound"),
         F.expr(key_expr).alias("home_key"),
+        "home_edge",
     )
     # queries whose home cell holds no images never reach p1: recover them
     # with a BROADCAST anti join against the (small) part_keys table.
@@ -611,6 +731,7 @@ def _knn_join_on_index(
             "query_id", "x", "y",
             F.lit(mr).alias("bound"),
             F.col("key").alias("home_key"),
+            F.lit(0.0).alias("home_edge"),  # empty home: always probe
         )
     )
     if np.isfinite(mr):
@@ -625,10 +746,19 @@ def _knn_join_on_index(
                 "query_id", "x", "y",
                 F.lit(mr).alias("bound"),
                 F.col("key").alias("home_key"),
+                F.lit(0.0).alias("home_edge"),
             )
         )
         absent = absent.unionByName(emptied)
     q_b = bound_rows.unionByName(absent)
+    # home-edge early exit (the dominant pruning term at scale — the
+    # O(Q x C) cell sweep otherwise): a query whose bound is STRICTLY
+    # inside its home grid cell cannot be improved by any other cell (all
+    # their points are >= edge away; keys partition space, so other cells'
+    # regions are disjoint even across refinement levels).  Strict '<'
+    # keeps exact tie semantics: an outside point at dist == bound could
+    # still displace the kth by image_id order, so bound == edge probes.
+    q_b = q_b.filter(~(F.col("bound") < F.col("home_edge"))).drop("home_edge")
     p2_cand = _knn_candidates(spark, q_b, stats, k, exclude_home=True, spread=False)
     p2_cand = _register_cache(
         p2_cand.join(part_keys, "key").select("query_id", "x", "y", "part_key")
@@ -696,7 +826,16 @@ class GeoIndex:
         self.level = level
         self.img = img
         self.stats = collect_cell_stats(img, level, max_cell_rows)
-        self.img_salted = _salted_images(spark, img, self.stats).persist()
+        # persist PRE-PARTITIONED on the cogroup key: the cached partitioning
+        # satisfies both phases' clustered-distribution requirement, so query
+        # batches shuffle only the (small) candidate side — the in-memory
+        # twin of the bucket-stored layout (bucketstore.py); verified by
+        # tests/test_engine_spark.py::test_geoindex_no_corpus_exchange
+        self.img_salted = (
+            _salted_images(spark, img, self.stats)
+            .repartition(_parallelism(spark), "part_key")
+            .persist()
+        )
         self.img_salted.count()  # materialize
         self.part_keys = F.broadcast(
             spark.createDataFrame(_candidate_part_keys(self.stats))
@@ -736,6 +875,61 @@ class GeoIndex:
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
         return _radius_join_on_index(
             self.spark, self.img_salted, self.stats, self.part_keys, queries, r
+        )
+
+    def profile_batch(self, queries: DataFrame, k: int = 8) -> DataFrame:
+        """Per-cell query metrics (north_rule: per-partition lineage +
+        query latency histograms): run the home-cell probe with a timing
+        kernel and emit one row per probed sub-tree —
+        (part_key, n_queries, n_points, tree_depth, n_leaves, kernel_ms,
+        us_per_query).  Feed to latency_histogram() / SnapshotStore
+        .write_query_metrics() for the logged metrics table."""
+        q = queries.select(
+            "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
+        ).withColumn("key", F.expr(self.stats.key_sql("x", "y")))
+        cand = q.join(self.part_keys, "key").select("query_id", "x", "y", "part_key")
+
+        def profile_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            import time as _t
+
+            cols = {
+                "part_key": [], "n_queries": [], "n_points": [],
+                "tree_depth": [], "n_leaves": [], "kernel_ms": [],
+                "us_per_query": [],
+            }
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame(cols)
+            pts = np.column_stack(
+                [right["x"].to_numpy(np.float64), right["y"].to_numpy(np.float64)]
+            )
+            qpts = np.column_stack(
+                [left["x"].to_numpy(np.float64), left["y"].to_numpy(np.float64)]
+            )
+            t0 = _t.perf_counter()
+            tree = kernel.build(pts)
+            kernel.knn(tree, qpts, k)
+            ms = (_t.perf_counter() - t0) * 1e3
+            return pd.DataFrame(
+                {
+                    "part_key": [int(right["part_key"].iloc[0])],
+                    "n_queries": [len(left)],
+                    "n_points": [len(right)],
+                    "tree_depth": [tree.depth],
+                    "n_leaves": [tree.n_leaves],
+                    "kernel_ms": [round(ms, 3)],
+                    "us_per_query": [round(ms * 1e3 / max(len(left), 1), 3)],
+                }
+            )
+
+        return (
+            cand.groupby("part_key")
+            .cogroup(self.img_salted.groupby("part_key"))
+            .applyInPandas(
+                profile_group,
+                schema="part_key long, n_queries long, n_points long,"
+                " tree_depth int, n_leaves int, kernel_ms double,"
+                " us_per_query double",
+            )
         )
 
     def nearest(self, qlat: float, qlon: float, k: int = 1):
@@ -1092,6 +1286,26 @@ def raster_vector_join(
 
 
 # ---------------------------------------------------------------- lineage
+
+
+def latency_histogram(metrics: DataFrame, n_buckets: int = 12) -> DataFrame:
+    """Histogram of per-query kernel latency across cells (north_rule:
+    query latency histograms in the metrics table): log2 buckets of
+    us_per_query weighted by each cell's query count."""
+    b = F.ceil(F.log2(F.greatest(F.col("us_per_query"), F.lit(1e-3))))
+    return (
+        metrics.withColumn(
+            "bucket_log2_us",
+            F.least(F.greatest(b, F.lit(-10)), F.lit(float(n_buckets))).cast("int"),
+        )
+        .groupBy("bucket_log2_us")
+        .agg(
+            F.sum("n_queries").alias("n_queries"),
+            F.count("*").alias("n_cells"),
+            F.sum("kernel_ms").alias("total_ms"),
+        )
+        .orderBy("bucket_log2_us")
+    )
 
 
 def cell_lineage(images: DataFrame, level: int) -> DataFrame:

@@ -135,6 +135,33 @@ def so3_knn(
     return qi[sel], idx[sel], ang[sel]
 
 
+def rotate_coeffs(q: np.ndarray, vol: np.ndarray) -> np.ndarray:
+    """F9: cyclic coefficient rotation canonicalizing a quaternion into its
+    hemispherical volume's frame (src/_so3space.hpp:48-60): element ``i`` of
+    the output is ``q[(vol + i) % 4]``, sign-flipped so the leading
+    coefficient is non-negative.  Vectorized over rows."""
+    q = np.asarray(q, np.float64)
+    vol = np.atleast_1d(np.asarray(vol, np.int64))
+    idx = (vol[:, None] + np.arange(4)[None, :]) % 4
+    out = np.take_along_axis(np.atleast_2d(q), idx, axis=1)
+    sign = np.where(out[:, 0] < 0, -1.0, 1.0)
+    return out * sign[:, None]
+
+
+def project_to_axis(q: np.ndarray, vol: np.ndarray, axis: np.ndarray) -> np.ndarray:
+    """F10: quaternion -> normalized 2-vector (main coeff, axis coeff) used
+    by the reference's in-volume median split comparisons
+    (src/_so3space.hpp:530-540).  Returns (n, 2) unit vectors with a
+    non-negative first component."""
+    r = rotate_coeffs(q, vol)
+    axis = np.atleast_1d(np.asarray(axis, np.int64))
+    a = r[:, 0]
+    b = np.take_along_axis(r, (axis + 1)[:, None], axis=1)[:, 0]
+    v = np.column_stack([a, b])
+    n = np.sqrt((v * v).sum(axis=1, keepdims=True))
+    return v / np.where(n == 0, 1.0, n)
+
+
 # ------------------------------------------------- weighted / compound
 
 

@@ -160,6 +160,16 @@ class SnapshotStore:
         engine.cell_lineage(df, level).write.mode("overwrite").parquet(str(out))
         return str(out)
 
+    def write_query_metrics(self, metrics: "DataFrame", snap_id: int, label: str = "knn") -> str:
+        """Log a query-batch metrics table (GeoIndex.profile_batch output:
+        per-cell counts, tree depth, kernel latency) plus its latency
+        histogram under metrics/ (north_rule: query latency histograms)."""
+        out = self.root / "metrics" / f"snap-{snap_id:08d}-query-{label}"
+        metrics.write.mode("overwrite").parquet(str(out))
+        hist = engine.latency_histogram(metrics)
+        hist.write.mode("overwrite").parquet(str(out) + "-hist")
+        return str(out)
+
 
 class CheckpointedPipeline:
     """Named stages with parquet outputs + done markers: kill anywhere,

@@ -247,6 +247,55 @@ def level_for_poses(n_rows: int, dims: int, target: int = 192, max_level: int = 
 # ------------------------------------------------------------ SO(3) join
 
 
+class So3Index:
+    """Build-once / query-many SO(3) index (the reference's KDTree contract
+    applied to the rotation space): canonicalized + salted corpus persisted
+    PRE-PARTITIONED on part_key so repeat query batches shuffle only the
+    candidate side (same layout trick as engine.GeoIndex)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        poses: DataFrame,
+        level: int | None = None,
+        max_cell_rows: int = 4096,
+        n_poses_hint: int | None = None,
+    ):
+        self.spark = spark
+        if level is None:
+            n = n_poses_hint if n_poses_hint is not None else poses.count()
+            level = level_for_poses(n, dims=4)
+        self.level = level
+        self.cell_expr = so3_cell_sql(level)
+        sign = canon_sign_sql()
+        canon = poses.select(
+            "pose_id",
+            *QCOLS,  # cell_expr reads the raw coefficients
+            *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
+        )
+        self.stats = _collect_stats(
+            canon, self.cell_expr, [f"c{c[1]}" for c in QCOLS], max_cell_rows
+        )
+        self.corpus = (
+            _salted(canon, spark, self.stats, self.cell_expr, "pose_id")
+            .select("pose_id", "cw", "cx", "cy", "cz", "part_key")
+            .repartition(
+                int(spark.conf.get("spark.sql.shuffle.partitions")), "part_key"
+            )
+            .persist()
+        )
+        self.corpus.count()  # materialize
+        self.part_keys = _part_keys(spark, self.stats)
+
+    def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
+        return _so3_knn_on_index(
+            self.spark, self.corpus, self.stats, self.part_keys, queries, k
+        )
+
+    def unpersist(self) -> None:
+        self.corpus.unpersist()
+
+
 def so3_knn_join(
     spark: SparkSession,
     poses: DataFrame,
@@ -267,6 +316,9 @@ def so3_knn_join(
     min per (query, pose) to dedupe antipodal double-hits -> window top-k.
     Reference: SO3 build/query ``src/_so3space.hpp:594-658``, test matrix
     ``test/kdtree_test.cpp:385-417``.
+
+    One-shot convenience over :class:`So3Index` (kept unpersisted: the
+    corpus is consumed once, exactly like engine.knn_join vs GeoIndex).
     """
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
@@ -285,8 +337,17 @@ def so3_knn_join(
         canon, spark, stats, cell_expr, "pose_id"
     ).select("pose_id", "cw", "cx", "cy", "cz", "part_key")
     part_keys = _part_keys(spark, stats)
+    return _so3_knn_on_index(spark, corpus, stats, part_keys, queries, k)
 
-    n_grid = 1 << level
+
+def _so3_knn_on_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    stats: PoseCellStats,
+    part_keys: DataFrame,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
     bc = spark.sparkContext.broadcast(
         (stats.keys, stats.counts, stats.lo, stats.hi)
     )

@@ -207,3 +207,51 @@ def test_cell_lineage_counts(spark, tables):
     assert lin["n_rows"].sum() == tables["images"].count()
     assert (lin["min_x"] <= lin["max_x"]).all()
     assert (lin["tree_depth"] >= 0).all()
+
+
+def test_geoindex_no_corpus_exchange(spark, tables):
+    """The GeoIndex corpus is persisted pre-partitioned on part_key: a
+    cogroup against it must reuse the cached partitioning — the ONLY
+    Exchange in a minimal candidate-vs-corpus cogroup plan is the
+    candidate side's (the in-memory twin of the bucket-stored layout)."""
+    import re
+
+    import pandas as pd
+
+    idx = engine.GeoIndex(spark, tables["images"], n_images_hint=2000)
+    try:
+        cand = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": ["q0"],
+                    "x": [0.0],
+                    "y": [0.0],
+                    "part_key": [int(idx.stats.keys[0]) << engine.SALT_SHIFT],
+                }
+            )
+        )
+        probe = (
+            cand.groupby("part_key")
+            .cogroup(idx.img_salted.groupby("part_key"))
+            .applyInPandas(
+                engine._make_knn_group(1),
+                schema="query_id string, image_id string, dist double",
+            )
+        )
+        probe.count()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the executed plan of this two-child op must shuffle ONLY the
+        # candidate side.  Per-query requirement shuffles are tagged
+        # ENSURE_REQUIREMENTS (the cached plan's one-time REPARTITION_BY_NUM
+        # build shuffle also prints inside InMemoryRelation — not per-query
+        # work); exactly one may exist, and the corpus must flow in through
+        # the cache.
+        ex_lines = {
+            ln.strip()
+            for ln in plan.splitlines()
+            if re.search(r"Exchange hashpartitioning.*ENSURE_REQUIREMENTS", ln)
+        }
+        assert len(ex_lines) == 1, plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        idx.unpersist()

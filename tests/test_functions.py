@@ -133,3 +133,37 @@ def test_log2_floor():
     n = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 2**40])
     want = np.array([0, 1, 1, 2, 2, 3, 9, 10, 40])
     assert np.array_equal(fx.log2_floor(n), want)
+
+
+def test_rotate_coeffs_properties():
+    """F9 (src/_so3space.hpp:48-60): output leads with the volume's
+    coefficient, non-negative, and is a signed permutation (norm kept)."""
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(64, 4))
+    q /= np.sqrt((q * q).sum(axis=1, keepdims=True))
+    vol = fx.so3_volume_index(q)
+    r = fx.rotate_coeffs(q, vol)
+    # leading coefficient is the volume's (largest-|.|) one, made positive
+    assert np.allclose(np.abs(r[:, 0]), np.abs(q[np.arange(len(q)), vol]))
+    assert (r[:, 0] >= 0).all()
+    assert np.allclose((r * r).sum(axis=1), 1.0)
+    # element i is +-q[(vol+i) % 4]
+    for i in range(4):
+        src = q[np.arange(len(q)), (vol + i) % 4]
+        assert np.allclose(np.abs(r[:, i]), np.abs(src))
+
+
+def test_project_to_axis_unit_2vector():
+    """F10 (src/_so3space.hpp:530-540): unit 2-vectors, non-negative lead,
+    and the projection preserves the coefficient ratio."""
+    rng = np.random.default_rng(12)
+    q = rng.normal(size=(32, 4))
+    q /= np.sqrt((q * q).sum(axis=1, keepdims=True))
+    vol = fx.so3_volume_index(q)
+    for axis in range(3):
+        v = fx.project_to_axis(q, vol, np.full(len(q), axis))
+        assert np.allclose((v * v).sum(axis=1), 1.0)
+        assert (v[:, 0] >= 0).all()
+        r = fx.rotate_coeffs(q, vol)
+        expect_ratio = r[:, axis + 1] / r[:, 0]
+        assert np.allclose(v[:, 1] / v[:, 0], expect_ratio)

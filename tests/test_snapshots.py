@@ -103,3 +103,33 @@ def test_pipeline_resume_identical_output(spark, tmp_path):
     assert calls["b"] == 1
     assert b1.equals(b2)
     assert np.array_equal(b1["h"].to_numpy(), b2["h"].to_numpy())
+
+
+def test_query_metrics_and_latency_histogram(spark, tmp_path):
+    """GeoIndex.profile_batch -> per-cell metrics rows; latency_histogram
+    buckets cover every probed query; SnapshotStore logs both tables."""
+    from sparkkd import engine, synth
+    from sparkkd.snapshots import SnapshotStore
+
+    root = synth.ensure_fixtures("sf0.001")
+    images = spark.read.parquet(str(root / "images.parquet"))
+    queries = spark.read.parquet(str(root / "queries.parquet"))
+    idx = engine.GeoIndex(spark, images, n_images_hint=2000)
+    try:
+        metrics = idx.profile_batch(queries, k=4).toPandas()
+        assert len(metrics) > 0
+        assert (metrics["n_points"] > 0).all()
+        assert (metrics["kernel_ms"] >= 0).all()
+        assert (metrics["tree_depth"] >= 0).all()
+        # every query probes exactly its home cell's salts >= 1 row each
+        assert metrics["n_queries"].sum() >= queries.count() * 0.9
+        mdf = idx.profile_batch(queries, k=4)
+        hist = engine.latency_histogram(mdf).toPandas()
+        assert hist["n_queries"].sum() == metrics["n_queries"].sum()
+        store = SnapshotStore(tmp_path / "snapm")
+        sid = store.write(images)
+        out = store.write_query_metrics(mdf, sid)
+        assert spark.read.parquet(out).count() == len(metrics)
+        assert spark.read.parquet(out + "-hist").count() == len(hist)
+    finally:
+        idx.unpersist()

@@ -118,3 +118,25 @@ def test_canon_sign_np_matches_sql_rule(spark):
     )
     s_sql = np.array([r["s"] for r in sdf.collect()])
     assert np.array_equal(s_np, s_sql)
+
+
+def test_so3_index_build_once_query_many(spark, pose_data):
+    """So3Index results == one-shot join results; repeat batches reuse the
+    persisted pre-partitioned corpus."""
+    poses, queries, ppdf, _ = pose_data
+    idx = so3engine.So3Index(spark, poses, n_poses_hint=len(ppdf))
+    try:
+        a = (
+            idx.knn_join(queries, k=4)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            so3engine.so3_knn_join(spark, poses, queries, k=4, n_poses_hint=len(ppdf))
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+        # second batch through the same index (different queries)
+        c = idx.knn_join(queries.limit(20), k=4).toPandas()
+        assert len(c) == 20 * 4
+    finally:
+        idx.unpersist()
