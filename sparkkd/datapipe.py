@@ -572,6 +572,161 @@ def ann_lsh_cosine_topk(
     )
 
 
+DOT_FOLD_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: all (a, b), a < b, with
+    6dp-rounded cosine similarity >= threshold.
+
+    Two stages, both built-in exprs (whole-stage codegen, no Python):
+    1. candidates — posexplode components, self-equi-join on the component
+       index, sum-of-products >= threshold - margin.  Aggregate SUM order
+       is engine-dependent (measured: 1 pair in 271 flipped a 6dp digit vs
+       DuckDB under cancellation), so this stage only prefilters;
+    2. deterministic rescoring — dot and norms as ORDERED left folds over
+       the arrays (aggregate + zip_with), the exact expression the DuckDB
+       oracle mirrors with list_reduce, so the final sim is bit-identical.
+
+    At corpus scale stage-1 swaps for LSH-bucket candidates
+    (ann_lsh_cosine_topk's bucketize); stage 2 is unchanged."""
+    u = embeddings.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    norms = u.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v").cast("double") * F.col("v").cast("double"))).alias("nrm")
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    margin = 1e-4
+    cand = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(F.sum(F.col("a.v").cast("double") * F.col("b.v").cast("double")).alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= threshold - margin)
+        .select("id_a", "id_b")
+    )
+    ea = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot = F.expr(DOT_FOLD_SPARK.format(a="ea", b="eb"))
+    na = F.sqrt(F.expr(DOT_FOLD_SPARK.format(a="ea", b="ea")))
+    nb = F.sqrt(F.expr(DOT_FOLD_SPARK.format(a="eb", b="eb")))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim", F.round(dot / (na * nb), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 9,
+    sample_rows: int = 4096,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) approximate NN — the coarse-quantizer scale path
+    the charter names alongside LSH: k-means centroids over a seeded
+    sample, vectors bucketed by nearest centroid (the 'cells' of the
+    embedding space), queries probe their n_probe nearest centroid buckets
+    and rescore exactly.  Same candidates->verify shape as the geo kNN
+    join; the only join is a bucket equi-join.  Deterministic given
+    (seed, n_centroids, n_probe); recall vs the exact baseline is asserted
+    in tests."""
+    spark = embeddings.sparkSession
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in embeddings.select("embedding").limit(sample_rows).collect()
+        ],
+        dtype=np.float64,
+    )
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = sn[rng.choice(len(sn), size=min(n_centroids, len(sn)), replace=False)]
+    for _ in range(iters):  # spherical k-means on the sample (driver-side)
+        assign = (sn @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sn[m].mean(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def bucketize(probe_n: int):
+        def gen(batches):
+            C = bc.value
+            for p in batches:
+                if len(p) == 0:
+                    continue
+                M = np.array(p["embedding"].tolist(), dtype=np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                sims = Mn @ C.T
+                order = np.argsort(-sims, axis=1)[:, :probe_n]
+                ids = p["vec_id"].to_numpy(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, probe_n),
+                        "bucket": order.ravel().astype(np.int32),
+                    }
+                )
+
+        return gen
+
+    corpus = embeddings.select("vec_id", "embedding").mapInPandas(
+        bucketize(1), schema="vec_id long, bucket int"
+    ).join(embeddings.select("vec_id", "embedding"), "vec_id")
+    queries = embeddings.select("vec_id", "embedding").mapInPandas(
+        bucketize(n_probe), schema="vec_id long, bucket int"
+    )
+    cand = (
+        queries.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "bucket",
+                F.col("embedding").alias("eb"),
+            ),
+            "bucket",
+        )
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .join(embeddings.select("vec_id", F.col("embedding").alias("ea")), "vec_id")
+    )
+
+    def score(batches):
+        for p in batches:
+            if len(p) == 0:
+                continue
+            A = np.array(p["ea"].tolist(), dtype=np.float64)
+            B = np.array(p["eb"].tolist(), dtype=np.float64)
+            sim = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": p["vec_id"].to_numpy(np.int64),
+                    "neighbor_id": p["neighbor_id"].to_numpy(np.int64),
+                    "sim": _round6_away(sim),
+                }
+            )
+
+    scored = cand.select("vec_id", "neighbor_id", "ea", "eb").mapInPandas(
+        score, schema="vec_id long, neighbor_id long, sim double"
+    ).distinct()
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", F.col("rank").cast("int"))
+    )
+
+
 # ------------------------------------------------------------- text stats
 
 
@@ -704,6 +859,75 @@ def image_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         gen, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+def image_resize_stats(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Decode -> nearest-neighbor RESIZE -> re-encode fingerprint + channel
+    means: the multimodal transform pattern (decode / resize / re-encode as
+    one Arrow batch UDF).  The resample is index arithmetic
+    (src = floor(dst * src_dim / dst_dim)), so it is exactly reproducible
+    by any consumer — tests recompute it from synth.expected_pixels."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                ys = (np.arange(out_h) * px.shape[0]) // out_h
+                xs = (np.arange(out_w) * px.shape[1]) // out_w
+                rz = px[ys][:, xs]
+                m = rz.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        r.image_id,
+                        out_w,
+                        out_h,
+                        round(float(m[0]), 6),
+                        round(float(m[1]), 6),
+                        round(float(m[2]), 6),
+                        zlib.crc32(rz.tobytes()) & 0x7FFFFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b", "crc"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen,
+        schema="image_id string, out_w int, out_h int, mean_r double,"
+        " mean_g double, mean_b double, crc int",
+    )
+
+
+def image_fidelity(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
+    """Per-row decoded-pixel fidelity vs the deterministic generator
+    pattern (north_rule per-row invariant: decoded pixels allclose, PSNR >=
+    40 dB for lossy formats; every sandbox codec is lossless so mse must be
+    exactly 0).  PSNR is capped at 99 dB for exact matches."""
+    from . import synth
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                want = synth.expected_pixels(int(r.phash), int(r.w), int(r.h))
+                mse = float(
+                    ((px.astype(np.float64) - want.astype(np.float64)) ** 2).mean()
+                )
+                psnr = 99.0 if mse == 0.0 else min(
+                    99.0, 10.0 * np.log10(255.0 * 255.0 / mse)
+                )
+                rows.append((r.image_id, r.fmt, round(mse, 6), round(psnr, 2),
+                             bool(psnr >= min_psnr_db)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "mse", "psnr_db", "ok"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(
+        gen, schema="image_id string, fmt string, mse double, psnr_db double, ok boolean"
     )
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import cells, engine
@@ -91,6 +91,64 @@ def stream_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime="1 second")
         .start()
+    )
+
+
+def asof_join_events(
+    events: DataFrame, target_type: str = "click", ref_type: str = "view"
+) -> DataFrame:
+    """AS-OF join on the events stream shape: for every event of
+    ``target_type``, the most recent (ts <=, ties by event_id desc)
+    ``ref_type`` event of the SAME user — the classic point-in-time
+    enrichment Spark lacks as a built-in.
+
+    Composition of existing DataFrame ops (no UDF): tag both sides, union,
+    ONE window per user ordered by (ts, is_target, event_id) and
+    last(ignorenulls) carries the ref id/value forward.  One shuffle on
+    user_id; no range join, no cross join.  Returns
+    (event_id, ref_event_id, ref_value, gap_us) with NULL ref columns for
+    targets with no prior ref event."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = src.filter(F.col("event_type") == ref_type).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_target"),
+        F.col("event_id").alias("tag_id"),
+        F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_value"),
+        F.col("ts").alias("r_ts"),
+    )
+    tgt = src.filter(F.col("event_type") == target_type).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_target"),
+        F.col("event_id").alias("tag_id"),
+        F.lit(None).cast("long").alias("r_id"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+    )
+    # refs sort BEFORE targets at equal ts (is_target asc), so ts-equality
+    # counts as "prior"; among equal-ts refs the max event_id wins — both
+    # choices mirrored exactly in the oracle SQL
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_target", "tag_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ref.unionByName(tgt).select(
+        "user_id",
+        "ts",
+        "is_target",
+        "tag_id",
+        F.last("r_id", ignorenulls=True).over(w).alias("ref_event_id"),
+        F.last("r_value", ignorenulls=True).over(w).alias("ref_value"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("ref_ts"),
+    )
+    return carried.filter(F.col("is_target") == 1).select(
+        F.col("tag_id").alias("event_id"),
+        "ref_event_id",
+        "ref_value",
+        (F.unix_micros("ts") - F.unix_micros("ref_ts")).alias("gap_us"),
     )
 
 

@@ -225,3 +225,71 @@ def test_lang_id_deterministic(spark, docs):
     b = datapipe.lang_id_score(docs).toPandas().sort_values("doc_id")
     assert a.equals(b.reset_index(drop=True).set_index(a.index))
     assert set(a["pred_lang"].unique()) <= {"en", "es", "de", "fr", "zh"}
+
+
+def test_embedding_near_dup_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = (
+        datapipe.embedding_near_dup(emb, threshold=0.3)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pdf = emb.toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    want = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and round(S[i, j], 6) >= 0.3:
+                want.append((ids[i], ids[j]))
+    assert len(got) == len(want) > 0
+    assert set(zip(got["id_a"], got["id_b"])) == set(want)
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = datapipe.ann_cosine_topk(emb, k=10, block_rows=100).toPandas()
+    ivf = datapipe.ann_ivf_topk(emb, k=10).toPandas()
+    # determinism
+    ivf2 = datapipe.ann_ivf_topk(emb, k=10).toPandas()
+    key = ["vec_id", "rank"]
+    assert ivf.sort_values(key).reset_index(drop=True).equals(
+        ivf2.sort_values(key).reset_index(drop=True)
+    )
+    # reported sims are exact for the pairs reported
+    esim = {(r.vec_id, r.neighbor_id): r.sim for r in exact.itertuples()}
+    for r in ivf.itertuples():
+        if (r.vec_id, r.neighbor_id) in esim:
+            assert r.sim == esim[(r.vec_id, r.neighbor_id)]
+    # recall@1 floor (random embeddings are LSH/IVF-adversarial)
+    e1 = set(zip(exact[exact["rank"] == 1].vec_id, exact[exact["rank"] == 1].neighbor_id))
+    i1 = set(zip(ivf[ivf["rank"] == 1].vec_id, ivf[ivf["rank"] == 1].neighbor_id))
+    assert len(e1 & i1) / len(e1) >= 0.5
+
+
+def test_image_resize_stats_matches_expected_pattern(spark, sf0001_fixtures):
+    images = spark.read.parquet(str(sf0001_fixtures / "images.parquet"))
+    res = datapipe.image_resize_stats(images.limit(40), out_w=8, out_h=8).toPandas()
+    src = images.limit(40).toPandas().set_index("image_id")
+    import zlib as _z
+
+    for _, r in res.iterrows():
+        row = src.loc[r["image_id"]]
+        px = synth.expected_pixels(row["phash"], int(row["w"]), int(row["h"]))
+        ys = (np.arange(8) * px.shape[0]) // 8
+        xs = (np.arange(8) * px.shape[1]) // 8
+        rz = px[ys][:, xs]
+        assert r["crc"] == (_z.crc32(rz.tobytes()) & 0x7FFFFFFF)
+        assert r["mean_r"] == round(float(rz.reshape(-1, 3).mean(axis=0)[0]), 6)
+
+
+def test_image_fidelity_all_exact(spark, sf0001_fixtures):
+    images = spark.read.parquet(str(sf0001_fixtures / "images.parquet"))
+    res = datapipe.image_fidelity(images).toPandas()
+    assert len(res) == images.count()
+    # sandbox codecs are lossless: every decode must match bit-exactly
+    assert (res["mse"] == 0.0).all()
+    assert res["ok"].all()

@@ -176,3 +176,31 @@ def test_windowed_event_rates_streaming_mode(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(batch)
+
+
+def test_asof_join_events_matches_scalar_oracle(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        streaming.asof_join_events(events)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pdf = events.toPandas()
+    ref = pdf[pdf["event_type"] == "view"]
+    tgt = pdf[pdf["event_type"] == "click"]
+    assert len(got) == len(tgt) > 0
+    by_user = {u: g.sort_values(["ts", "event_id"]) for u, g in ref.groupby("user_id")}
+    got_idx = got.set_index("event_id")
+    import math
+
+    for t in tgt.itertuples():
+        g = by_user.get(t.user_id)
+        cand = g[g["ts"] <= t.ts] if g is not None else None
+        row = got_idx.loc[t.event_id]
+        if cand is None or len(cand) == 0:
+            assert row["ref_event_id"] is None or math.isnan(row["ref_event_id"])
+        else:
+            best = cand.iloc[-1]  # max (ts, event_id)
+            assert int(row["ref_event_id"]) == int(best["event_id"])
+            assert row["ref_value"] == best["value"]
