@@ -374,6 +374,38 @@ def _candidate_part_keys(stats: CellStats) -> pd.DataFrame:
 # ------------------------------------------------------- candidate pruning
 
 
+def _coarse_groups(stats: CellStats):
+    """Two-level pruning index: stats cells grouped by their ancestor at a
+    coarse level (group bbox = union of member bboxes).  A query first
+    tests ~G group boxes; only groups whose box beats the bound expand to
+    their members.  With tight bounds most queries touch 1-4 groups, so
+    the O(Q x C) sweep — the measured hot spot at 1.6M queries x 7k cells
+    — collapses to O(Q x G) + epsilon.
+
+    Returns (g_mnx, g_mny, g_mxx, g_mxy, g_order, g_start) where g_order
+    lists member indices grouped by g and g_start its offsets."""
+    key_levels = (stats.keys >> LEVEL_SHIFT).astype(np.int64)
+    key_cells = (stats.keys & ((1 << LEVEL_SHIFT) - 1)).astype(np.int64)
+    coarse_level = max(1, stats.level - 3)
+    anc = np.empty(len(stats.keys), np.int64)
+    for lv in np.unique(key_levels):
+        m = key_levels == lv
+        anc[m] = _coarsen(key_cells[m], int(lv), coarse_level)
+    g_ids, g_inv = np.unique(anc, return_inverse=True)
+    G = len(g_ids)
+    g_mnx = np.full(G, np.inf)
+    g_mny = np.full(G, np.inf)
+    g_mxx = np.full(G, -np.inf)
+    g_mxy = np.full(G, -np.inf)
+    np.minimum.at(g_mnx, g_inv, stats.min_x)
+    np.minimum.at(g_mny, g_inv, stats.min_y)
+    np.maximum.at(g_mxx, g_inv, stats.max_x)
+    np.maximum.at(g_mxy, g_inv, stats.max_y)
+    g_order = np.argsort(g_inv, kind="stable")  # member idx grouped by g
+    g_start = np.searchsorted(g_inv[g_order], np.arange(G + 1))
+    return g_mnx, g_mny, g_mxx, g_mxy, g_order, g_start
+
+
 def _knn_candidates(
     spark: SparkSession,
     queries: DataFrame,
@@ -401,31 +433,7 @@ def _knn_candidates(
     exclude_home=True the query's own cell (its ``home_key`` column) is
     skipped — it was already fully probed in phase 1.
     """
-    # two-level pruning index: stats cells grouped by their ancestor at a
-    # coarse level (group bbox = union of member bboxes).  A query first
-    # tests ~G group boxes; only groups whose box beats the bound expand to
-    # their members.  With phase-1 bounds (tiny vs cell size) most queries
-    # touch 1-4 groups, so the O(Q x C) sweep — the measured hot spot at
-    # 1.6M x 7k cells — collapses to O(Q x G) + epsilon.
-    key_levels = (stats.keys >> LEVEL_SHIFT).astype(np.int64)
-    key_cells = (stats.keys & ((1 << LEVEL_SHIFT) - 1)).astype(np.int64)
-    coarse_level = max(1, stats.level - 3)
-    anc = np.empty(len(stats.keys), np.int64)
-    for lv in np.unique(key_levels):
-        m = key_levels == lv
-        anc[m] = _coarsen(key_cells[m], int(lv), coarse_level)
-    g_ids, g_inv = np.unique(anc, return_inverse=True)
-    G = len(g_ids)
-    g_mnx = np.full(G, np.inf)
-    g_mny = np.full(G, np.inf)
-    g_mxx = np.full(G, -np.inf)
-    g_mxy = np.full(G, -np.inf)
-    np.minimum.at(g_mnx, g_inv, stats.min_x)
-    np.minimum.at(g_mny, g_inv, stats.min_y)
-    np.maximum.at(g_mxx, g_inv, stats.max_x)
-    np.maximum.at(g_mxy, g_inv, stats.max_y)
-    g_order = np.argsort(g_inv, kind="stable")  # member idx grouped by g
-    g_start = np.searchsorted(g_inv[g_order], np.arange(G + 1))
+    g_mnx, g_mny, g_mxx, g_mxy, g_order, g_start = _coarse_groups(stats)
 
     bc = spark.sparkContext.broadcast(
         (
@@ -977,27 +985,53 @@ def _radius_join_on_index(
     r: float,
 ) -> DataFrame:
     q = queries.select("query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y"))
+    g_mnx, g_mny, g_mxx, g_mxy, g_order, g_start = _coarse_groups(stats)
     bc = spark.sparkContext.broadcast(
-        (stats.keys, stats.min_x, stats.min_y, stats.max_x, stats.max_y)
+        (
+            stats.keys, stats.min_x, stats.min_y, stats.max_x, stats.max_y,
+            g_mnx, g_mny, g_mxx, g_mxy, g_order, g_start,
+        )
     )
     q = q.repartition(_parallelism(spark))
 
     def gen(batches):
-        keys, mnx, mny, mxx, mxy = bc.value
+        keys, mnx, mny, mxx, mxy, gmnx, gmny, gmxx, gmxy, gorder, gstart = bc.value
         C = len(keys)
+        G_ = len(gmnx)
         for pdf in batches:
             if len(pdf) == 0 or C == 0:
                 continue
             qx = pdf["x"].to_numpy(np.float64)
             qy = pdf["y"].to_numpy(np.float64)
-            chunk = max(64, 2_000_000 // max(C, 1))
+            chunk = max(256, 8_000_000 // max(G_, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
-                dmin = cells.bbox_min_dist(
-                    qx[sl][:, None], qy[sl][:, None],
-                    mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :],
+                px, py = qx[sl], qy[sl]
+                # two-level: coarse group boxes, then members of passing
+                # groups only (same structure as _knn_candidates)
+                dmin_g = cells.bbox_min_dist(
+                    px[:, None], py[:, None],
+                    gmnx[None, :], gmny[None, :], gmxx[None, :], gmxy[None, :],
                 )
-                qi, ci = np.nonzero(dmin <= r)
+                adm_g = dmin_g <= r
+                out_qi: list[np.ndarray] = []
+                out_ci: list[np.ndarray] = []
+                for g in np.nonzero(adm_g.any(axis=0))[0]:
+                    rows_g = np.nonzero(adm_g[:, g])[0]
+                    mem = gorder[gstart[g] : gstart[g + 1]]
+                    dmin = cells.bbox_min_dist(
+                        px[rows_g][:, None], py[rows_g][:, None],
+                        mnx[mem][None, :], mny[mem][None, :],
+                        mxx[mem][None, :], mxy[mem][None, :],
+                    )
+                    qi_l, ci_l = np.nonzero(dmin <= r)
+                    if len(qi_l) > 0:
+                        out_qi.append(rows_g[qi_l])
+                        out_ci.append(mem[ci_l])
+                if not out_qi:
+                    continue
+                qi = np.concatenate(out_qi)
+                ci = np.concatenate(out_ci)
                 out = pdf.iloc[qi + c0][["query_id", "x", "y"]].copy()
                 out["key"] = keys[ci]
                 yield out

@@ -94,6 +94,41 @@ def stream_ingest(
     )
 
 
+QUERY_SCHEMA = "query_id string, qlat double, qlon double"
+
+
+def stream_knn_enrich(
+    spark: SparkSession,
+    query_dir: str,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+):
+    """Streaming kNN enrichment: micro-batches of query points are answered
+    against a PREBUILT GeoIndex (build once, query many — the reference's
+    contract, streamed) and appended as parquet per epoch.  foreachBatch
+    gives exactly-once per epoch through the checkpoint; the index's
+    pre-partitioned corpus cache means each micro-batch shuffles only its
+    own (small) candidate side."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index.knn_join(batch, k=k).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    return (
+        spark.readStream.schema(QUERY_SCHEMA)
+        .parquet(query_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
 def asof_join_events(
     events: DataFrame, target_type: str = "click", ref_type: str = "view"
 ) -> DataFrame:

@@ -204,3 +204,49 @@ def test_asof_join_events_matches_scalar_oracle(spark):
             best = cand.iloc[-1]  # max (ts, event_id)
             assert int(row["ref_event_id"]) == int(best["event_id"])
             assert row["ref_value"] == best["value"]
+
+
+def test_stream_knn_enrich_matches_batch(spark, tmp_path, sf0001_fixtures):
+    """Micro-batched kNN enrichment through a prebuilt GeoIndex must equal
+    the batch join, per epoch."""
+    import pyarrow.parquet as pq2
+
+    from sparkkd import engine
+
+    images = spark.read.parquet(str(sf0001_fixtures / "images.parquet"))
+    queries_pdf = spark.read.parquet(str(sf0001_fixtures / "queries.parquet")).toPandas()
+    idx = engine.GeoIndex(spark, images, n_images_hint=2000)
+    try:
+        src = tmp_path / "qstream"
+        src.mkdir()
+        out = tmp_path / "enriched"
+        import pyarrow as pa
+
+        pq2.write_table(pa.Table.from_pandas(queries_pdf.iloc[:80]), src / "q1.parquet")
+        q = streaming.stream_knn_enrich(
+            spark, str(src), idx, str(out), str(tmp_path / "ckpt_knn"), k=4
+        )
+        try:
+            q.processAllAvailable()
+            pq2.write_table(pa.Table.from_pandas(queries_pdf.iloc[80:150]), src / "q2.parquet")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = (
+            spark.read.parquet(str(out))
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)[["query_id", "image_id", "dist", "rank"]]
+        )
+        want = (
+            idx.knn_join(
+                spark.createDataFrame(queries_pdf.iloc[:150]), k=4
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)[["query_id", "image_id", "dist", "rank"]]
+        )
+        assert len(got) == 150 * 4
+        assert got.equals(want)
+    finally:
+        idx.unpersist()
