@@ -250,6 +250,36 @@ def gen_tiles(grid: int = 16, seed: int = 45) -> pa.Table:
     )
 
 
+def _caption_slice_sql(shift: int, dialect: str) -> str:
+    """Logical-shift-then-mod word index on the SIGNED phash: the mask
+    keeps bits 0..(63-shift) of the shifted value, discarding the
+    sign-extension fill, so arithmetic shift equals logical shift in both
+    Spark (shiftright function) and DuckDB (>> operator)."""
+    mask = (1 << (64 - shift)) - 1
+    sh = f"shiftright(phash, {shift})" if dialect == "spark" else f"(phash >> {shift})"
+    return f"((({sh}) & {mask}) % {len(_WORDS)})"
+
+
+def caption_expr_sql(dialect: str) -> str:
+    """The caption as a pure SQL function of (image_id, phash) — identical
+    semantics in Spark ('spark') and DuckDB ('duckdb'); used by the
+    caption_fidelity driver row to verify byte-equality end to end
+    (north_rule: captions byte-equal)."""
+    t1 = _caption_slice_sql(3, dialect)
+    t2 = _caption_slice_sql(17, dialect)
+    t3 = _caption_slice_sql(41, dialect)
+    if dialect == "spark":
+        words = ", ".join(f"'{w}'" for w in _WORDS)
+        pick = lambda t: f"element_at(array({words}), CAST({t} AS INT) + 1)"  # noqa: E731
+    else:
+        words = ", ".join(f"'{w}'" for w in _WORDS)
+        pick = lambda t: f"list_extract([{words}], CAST({t} AS INT) + 1)"  # noqa: E731
+    return (
+        f"concat('caption for ', image_id, ': ', {pick(t1)}, ' ',"
+        f" {pick(t2)}, ' ', {pick(t3)})"
+    )
+
+
 # ---------------------------------------------------------------- fixtures
 
 
