@@ -436,6 +436,58 @@ def _so3_knn_on_index(
 # ------------------------------------------------------------ SE(3) join
 
 
+class Se3Index:
+    """Build-once / query-many SE(3) index: salted corpus persisted
+    PRE-PARTITIONED on the translation-grid part_key (same layout as
+    GeoIndex/So3Index) — repeat batches shuffle only the candidate side."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        poses: DataFrame,
+        level: int | None = None,
+        max_cell_rows: int = 4096,
+        n_poses_hint: int | None = None,
+    ):
+        self.spark = spark
+        if level is None:
+            n = n_poses_hint if n_poses_hint is not None else poses.count()
+            level = level_for_poses(n, dims=3)
+        self.level = level
+        b = poses.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
+            *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
+        ).first()
+        bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
+        self.cell_expr = trans_cell_sql(bounds, level)
+        self.stats = _collect_stats(poses, self.cell_expr, list(TCOLS), max_cell_rows)
+        self.corpus = (
+            _salted(poses, spark, self.stats, self.cell_expr, "pose_id")
+            .select("pose_id", *QCOLS, *TCOLS, "part_key")
+            .repartition(
+                int(spark.conf.get("spark.sql.shuffle.partitions")), "part_key"
+            )
+            .persist()
+        )
+        self.corpus.count()  # materialize
+        self.part_keys = _part_keys(spark, self.stats)
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 8,
+        rot_weight: float = 1.0,
+        trans_weight: float = 1.0,
+    ) -> DataFrame:
+        return _se3_knn_on_index(
+            self.spark, self.corpus, self.stats, self.part_keys, queries, k,
+            rot_weight, trans_weight,
+        )
+
+    def unpersist(self) -> None:
+        self.corpus.unpersist()
+
+
 def se3_knn_join(
     spark: SparkSession,
     poses: DataFrame,
@@ -457,7 +509,8 @@ def se3_knn_join(
     pruning is exact: lower bound = trans_weight * dist-to-bbox (rotation
     contributes >= 0); count-bound upper bound adds rot_weight * pi/2 (the
     angular metric's diameter).  Per-cell kernel evaluates the FULL
-    compound distance vectorized (cells hold O(max_cell_rows) rows)."""
+    compound distance vectorized (cells hold O(max_cell_rows) rows).
+    One-shot convenience over :class:`Se3Index` (corpus unpersisted)."""
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
         level = level_for_poses(n, dims=3)
@@ -472,7 +525,21 @@ def se3_knn_join(
         "pose_id", *QCOLS, *TCOLS, "part_key"
     )
     part_keys = _part_keys(spark, stats)
+    return _se3_knn_on_index(
+        spark, corpus, stats, part_keys, queries, k, rot_weight, trans_weight
+    )
 
+
+def _se3_knn_on_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    stats: PoseCellStats,
+    part_keys: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rot_weight: float,
+    trans_weight: float,
+) -> DataFrame:
     rw, tw = float(rot_weight), float(trans_weight)
     rot_diam = rw * (np.pi / 2.0)
     bc = spark.sparkContext.broadcast((stats.keys, stats.counts, stats.lo, stats.hi))

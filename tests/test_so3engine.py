@@ -140,3 +140,23 @@ def test_so3_index_build_once_query_many(spark, pose_data):
         assert len(c) == 20 * 4
     finally:
         idx.unpersist()
+
+
+def test_se3_index_build_once_query_many(spark, pose_data):
+    poses, queries, ppdf, _ = pose_data
+    idx = so3engine.Se3Index(spark, poses, n_poses_hint=len(ppdf))
+    try:
+        a = (
+            idx.knn_join(queries, k=4, rot_weight=2.0, trans_weight=0.5)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        b = (
+            so3engine.se3_knn_join(
+                spark, poses, queries, k=4, rot_weight=2.0, trans_weight=0.5,
+                n_poses_hint=len(ppdf),
+            )
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+    finally:
+        idx.unpersist()
