@@ -148,3 +148,41 @@ def test_extreme_skew_all_in_one_cell(spark):
         }
     )
     _run_case(spark, img, q, k=8, level=5, max_cell_rows=100)
+
+
+def test_knn_join_max_radius_matches_bounded_brute_force(spark, sf0001_fixtures):
+    """Bounded kNN (reference Q2 maxRadius): results equal brute force with
+    the radius cutoff applied before ranking; a radius below every
+    distance yields zero rows."""
+    import numpy as np
+
+    from sparkkd import cells, engine
+
+    images = spark.read.parquet(str(sf0001_fixtures / "images.parquet"))
+    queries = spark.read.parquet(str(sf0001_fixtures / "queries.parquet")).limit(60)
+    mr = 1.5
+    got = (
+        engine.knn_join(spark, images, queries, k=5, max_radius=mr, n_images_hint=2000)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    img = images.toPandas()
+    lat, lon = cells.phash_to_coords(img["phash"].to_numpy())
+    q = queries.toPandas()
+    rows = []
+    for t in q.itertuples():
+        d = np.sqrt((lon - t.qlon) ** 2 + (lat - t.qlat) ** 2)
+        order = np.lexsort((img["image_id"].to_numpy(), d))
+        kept = [(i, d[i]) for i in order if d[i] <= mr][:5]
+        for r, (i, dist) in enumerate(kept):
+            rows.append((t.query_id, img["image_id"].iloc[i], dist, r + 1))
+    assert len(got) == len(rows) > 0
+    for (qid, iid, dist, rank), g in zip(rows, got.itertuples()):
+        assert (qid, iid, rank) == (g.query_id, g.image_id, g.rank)
+        assert abs(dist - g.dist) < 1e-12
+    # radius below the minimum distance: empty result
+    tiny = engine.knn_join(
+        spark, images, queries, k=5, max_radius=1e-12, n_images_hint=2000
+    )
+    assert tiny.count() == 0
