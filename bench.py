@@ -81,18 +81,35 @@ def main() -> None:
     # (measured ~15s one-time cost otherwise attributed to the first query)
     qs["knn_join_k8"](spark, "/root/testdata/sf0.001").count()
 
-    # min-of-2: this VM shows 2-3x run-to-run noise on short jobs (host
-    # steal); the second run also reflects steady-state (warm page cache)
+    # SELF-DEFENDING measurement (this VM shows 2-4x run-to-run noise from
+    # hypervisor steal — the round-2 driver artifact hid a 4x factor):
+    # 1. a COLD pass per query, reported separately as build_sec (it pays
+    #    index construction: stats job + corpus persist, cached per
+    #    session+sf by the entry module) so cold and steady-state can't be
+    #    conflated;
+    # 2. min-of-3 steady-state runs, with the RAW per-run values emitted in
+    #    `all` so the artifact itself shows the noise; if the triplet's
+    #    spread exceeds 2x, up to 2 extra runs are taken (variance guard).
+    build_sec: dict[str, float] = {}
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     counts: dict[str, int] = {}
     for name in headline:
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.time()
+        counts[name] = qs[name](spark, sf_dir).count()
+        build_sec[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             counts[name] = df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        while max(runs) / max(min(runs), 1e-9) > 2.0 and len(runs) < 5:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     n_queries = synth.SF_SIZES[tag][1]
     knn_tput = round(n_queries / timings["knn_join_k8"], 1) if "knn_join_k8" in timings else None
@@ -102,6 +119,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "all": all_runs,
+        "build_sec": {**build_sec, "total": round(sum(build_sec.values()), 3)},
         "sf": tag,
         "cpus": cpus,
         "rows": counts,

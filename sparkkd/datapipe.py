@@ -81,7 +81,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> 
         sh.join(dfreq, "sh")
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "doc_id")
-        .filter(F.col("rn") <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1)
+        # epsilon guard: ceil on an inexact double t*m can round UP past an
+        # exact integer (e.g. t=0.55, m=20), shortening the prefix below
+        # the AllPairs bound and dropping pairs exactly AT the threshold
+        .filter(
+            F.col("rn")
+            <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)) + 1
+        )
         .select("doc_id", "sh")
     )
     a = prefix.alias("a")
@@ -578,36 +584,228 @@ DOT_FOLD_SPARK = (
 )
 
 
-def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+def _seeded_sample(embeddings: DataFrame, seed: int, sample_rows: int):
+    """Deterministic bounded training sample: seeded hash predicate (keeps
+    ~2x the target so small corpora still fill it) then vec_id ordering —
+    stable across partitionings and runs, unlike unordered limit()."""
+    n_rows = embeddings.count()
+    stride = max(1, n_rows // (2 * sample_rows))
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in embeddings.select("vec_id", "embedding")
+            .filter(F.pmod(F.xxhash64(F.col("vec_id") + seed), stride) == 0)
+            .orderBy("vec_id")
+            .limit(sample_rows)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    return n_rows, sample
+
+
+def _spherical_kmeans(
+    sample: np.ndarray, n_centroids: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Driver-side spherical k-means over a (small) sample; deterministic
+    given (sample, n_centroids, seed)."""
+    sn = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-300
+    )
+    rng = np.random.default_rng(seed)
+    cents = sn[rng.choice(len(sn), size=min(n_centroids, len(sn)), replace=False)]
+    for _ in range(iters):
+        assign = (sn @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sn[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-300)
+    return cents
+
+
+def _near_dup_plan(counts: np.ndarray, lo: np.ndarray, hi: np.ndarray, r: float):
+    """Driver-side plan for the block radius self-join: admit bucket PAIRS
+    whose full-d bbox-to-bbox min distance is <= r.  The bbox distance is
+    a contraction of every member-pair distance, so recall is PROVABLY 1.0
+    for ANY partition of the vectors — unlike LSH candidates, no pair
+    within the radius can be missed.  Driver cost is O(C^2 * d) — with the
+    sqrt-N centroid policy that is O(N * d), the same order as one scan of
+    the data (production would pre-prune pairs with the centroid-distance
+    triangle inequality before the exact bbox test).
+
+    Returns (pairs (m, 2) int arrays with i <= j, work, shuffle_rows)."""
+    C = len(counts)
+    gap2 = np.zeros((C, C))
+    for j in range(lo.shape[1]):
+        a = lo[:, j][None, :] - hi[:, j][:, None]  # (i, k): lo_k - hi_i
+        g = np.maximum(np.maximum(a, a.T), 0.0)
+        gap2 += g * g
+    iu, ju = np.nonzero(np.triu(np.sqrt(gap2) <= r))
+    work = float((counts[iu] * counts[ju]).sum())
+    deg = np.bincount(iu, minlength=C) + np.bincount(ju, minlength=C)
+    shuffle = float((counts * deg).sum())
+    return np.column_stack([iu, ju]), work, shuffle
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    seed: int = 11,
+    sample_rows: int = 4096,
+) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: all (a, b), a < b, with
     6dp-rounded cosine similarity >= threshold.
 
-    Two stages, both built-in exprs (whole-stage codegen, no Python):
-    1. candidates — posexplode components, self-equi-join on the component
-       index, sum-of-products >= threshold - margin.  Aggregate SUM order
-       is engine-dependent (measured: 1 pair in 271 flipped a 6dp digit vs
-       DuckDB under cancellation), so this stage only prefilters;
-    2. deterministic rescoring — dot and norms as ORDERED left folds over
-       the arrays (aggregate + zip_with), the exact expression the DuckDB
-       oracle mirrors with list_reduce, so the final sim is bit-identical.
+    Stage 1 (candidates) is an EXACT block radius self-join — the geo
+    engine's cell-pruning pattern applied to the unit sphere.  Cosine >= t
+    on normalized vectors is Euclidean distance <= r = sqrt(2 - 2t), so:
+    vectors are bucketed by nearest seeded-k-means centroid (sqrt-N
+    centroids, the IVF coarse quantizer — tight near-dup clusters land
+    alone in tight buckets); per-bucket stats carry the FULL-d bbox of
+    members; the driver admits only bucket PAIRS whose d-dimensional
+    bbox-to-bbox min distance is <= r (a contraction of every member-pair
+    distance — recall is provably 1.0, so the oracle row survives).  Each
+    admitted pair becomes one cogroup computing its cross block of dots in
+    NumPy.  Shuffle volume is N * avg-degree rows — the round-2 posexplode
+    self-join (N^2 * d rows through the shuffle) is gone; on clustered
+    near-dup corpora work tracks the intra-cluster ideal (asserted by a
+    100k-vector fixture test), while an adversarially-uniform corpus
+    degrades to a blocked brute force with the same asymptotics as
+    ann_cosine_topk's exact baseline.
 
-    At corpus scale stage-1 swaps for LSH-bucket candidates
-    (ann_lsh_cosine_topk's bucketize); stage 2 is unchanged."""
-    u = embeddings.select("vec_id", F.posexplode("embedding").alias("i", "v"))
-    norms = u.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v").cast("double") * F.col("v").cast("double"))).alias("nrm")
-    )
-    a = u.alias("a")
-    b = u.alias("b")
+    Stage 2 (unchanged): deterministic rescoring — dot and norms as
+    ORDERED left folds over the arrays (aggregate + zip_with), the exact
+    expression the DuckDB oracle mirrors with list_reduce, so the final
+    sim is bit-identical."""
+    spark = embeddings.sparkSession
     margin = 1e-4
+    import math
+
+    r = math.sqrt(max(2.0 - 2.0 * (threshold - margin), 0.0))
+    n_rows, sample = _seeded_sample(embeddings, seed, sample_rows)
+    if n_rows == 0:
+        return spark.createDataFrame(
+            pd.DataFrame({"id_a": [], "id_b": [], "sim": []}),
+            schema="id_a long, id_b long, sim double",
+        )
+    n_centroids = max(16, int(round(np.sqrt(n_rows))))
+    cents = _spherical_kmeans(sample, n_centroids, seed)
+    bc = spark.sparkContext.broadcast(cents)
+
+    # ONE pass: nearest-centroid assignment + per-partition partial stats
+    # (bucket, count, full-d bbox) — no posexplode, no extra shuffle; the
+    # tiny partial-stats table is combined driver-side.
+    def stats_gen(batches):
+        C = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            M = np.array(p["embedding"].tolist(), dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            bkt = (Mn @ C.T).argmax(axis=1)
+            uniq = np.unique(bkt)
+            rows = {"bucket": [], "cnt": [], "lo": [], "hi": []}
+            for b in uniq:
+                m = bkt == b
+                rows["bucket"].append(int(b))
+                rows["cnt"].append(int(m.sum()))
+                rows["lo"].append(Mn[m].min(axis=0).tolist())
+                rows["hi"].append(Mn[m].max(axis=0).tolist())
+            yield pd.DataFrame(rows)
+
+    spdf = embeddings.select("vec_id", "embedding").mapInPandas(
+        stats_gen, schema="bucket int, cnt long, lo array<double>, hi array<double>"
+    ).toPandas()
+    if len(spdf) == 0:
+        return spark.createDataFrame(
+            pd.DataFrame({"id_a": [], "id_b": [], "sim": []}),
+            schema="id_a long, id_b long, sim double",
+        )
+    d = len(spdf["lo"].iloc[0])
+    buckets = np.sort(spdf["bucket"].unique())
+    inv = np.searchsorted(buckets, spdf["bucket"].to_numpy())
+    counts = np.zeros(len(buckets), np.int64)
+    np.add.at(counts, inv, spdf["cnt"].to_numpy(np.int64))
+    lo = np.full((len(buckets), d), np.inf)
+    hi = np.full((len(buckets), d), -np.inf)
+    plo = np.array(spdf["lo"].tolist(), dtype=np.float64)
+    phi = np.array(spdf["hi"].tolist(), dtype=np.float64)
+    for j in range(d):
+        np.minimum.at(lo[:, j], inv, plo[:, j])
+        np.maximum.at(hi[:, j], inv, phi[:, j])
+    pairs, _, _ = _near_dup_plan(counts, lo, hi, r)
+    key_mult = np.int64(max(len(cents), 1) + 1)
+    pair_pdf = pd.DataFrame(
+        {
+            "ba": buckets[pairs[:, 0]],
+            "bb": buckets[pairs[:, 1]],
+            "pk": buckets[pairs[:, 0]] * key_mult + buckets[pairs[:, 1]],
+        }
+    )
+    pair_df = F.broadcast(spark.createDataFrame(pair_pdf))
+
+    def assign_gen(batches):
+        C = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            M = np.array(p["embedding"].tolist(), dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame(
+                {
+                    "vec_id": p["vec_id"].to_numpy(np.int64),
+                    "embedding": p["embedding"],
+                    "bucket": (Mn @ C.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    vb = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_gen, schema="vec_id long, embedding array<double>, bucket int"
+    )
+    A = (
+        vb.alias("va")
+        .join(pair_df.alias("pa"), F.col("va.bucket") == F.col("pa.ba"))
+        .select(
+            F.col("pa.pk").alias("pk"),
+            F.col("va.vec_id").alias("vec_id"),
+            F.col("va.embedding").alias("embedding"),
+        )
+    )
+    B = (
+        vb.alias("vb")
+        .join(pair_df.alias("pb"), F.col("vb.bucket") == F.col("pb.bb"))
+        .select(
+            F.col("pb.pk").alias("pk"),
+            F.col("vb.vec_id").alias("vec_id"),
+            F.col("vb.embedding").alias("embedding"),
+        )
+    )
+
+    thr = float(threshold - margin)
+
+    def block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        Ma = np.array(left["embedding"].tolist(), dtype=np.float64)
+        Mb = np.array(right["embedding"].tolist(), dtype=np.float64)
+        Ma /= np.maximum(np.linalg.norm(Ma, axis=1, keepdims=True), 1e-300)
+        Mb /= np.maximum(np.linalg.norm(Mb, axis=1, keepdims=True), 1e-300)
+        ia = left["vec_id"].to_numpy(np.int64)
+        ib = right["vec_id"].to_numpy(np.int64)
+        qi, ci = np.nonzero(Ma @ Mb.T >= thr)
+        a, b = ia[qi], ib[ci]
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
     cand = (
-        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .agg(F.sum(F.col("a.v").cast("double") * F.col("b.v").cast("double")).alias("dot"))
-        .join(norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
-        .join(norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
-        .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= threshold - margin)
-        .select("id_a", "id_b")
+        A.groupby("pk")
+        .cogroup(B.groupby("pk"))
+        .applyInPandas(block, schema="id_a long, id_b long")
+        .distinct()  # ba==bb diagonal emits each pair twice
     )
     ea = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
@@ -626,7 +824,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFra
 def ann_ivf_topk(
     embeddings: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     seed: int = 9,
     sample_rows: int = 4096,
@@ -639,25 +837,20 @@ def ann_ivf_topk(
     and rescore exactly.  Same candidates->verify shape as the geo kNN
     join; the only join is a bucket equi-join.  Deterministic given
     (seed, n_centroids, n_probe); recall vs the exact baseline is asserted
-    in tests."""
+    in tests.
+
+    n_centroids=None applies the classic sqrt-N policy
+    ``max(16, round(sqrt(N)))``: per-bucket occupancy ~sqrt(N), so
+    per-query candidate work is O(n_probe * sqrt(N)) instead of the
+    linear-occupancy blowup a FIXED centroid count produces (the same
+    scale lesson as ann_lsh_cosine_topk's plane policy).  The training
+    sample is a seeded hash-sample ordered by vec_id — deterministic
+    across partitionings and runs, unlike unordered limit()."""
     spark = embeddings.sparkSession
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in embeddings.select("embedding").limit(sample_rows).collect()
-        ],
-        dtype=np.float64,
-    )
-    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cents = sn[rng.choice(len(sn), size=min(n_centroids, len(sn)), replace=False)]
-    for _ in range(iters):  # spherical k-means on the sample (driver-side)
-        assign = (sn @ cents.T).argmax(axis=1)
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                v = sn[m].mean(axis=0)
-                cents[c] = v / np.linalg.norm(v)
+    n_rows, sample = _seeded_sample(embeddings, seed, sample_rows)
+    if n_centroids is None:
+        n_centroids = max(16, int(round(np.sqrt(max(n_rows, 1)))))
+    cents = _spherical_kmeans(sample, n_centroids, seed, iters)
     bc = spark.sparkContext.broadcast(cents)
 
     def bucketize(probe_n: int):

@@ -58,27 +58,35 @@ def _parallelism(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism
 
 
-# intermediate caches (phase-1 top-k, phase-2 candidates) from the most
-# recent join call; released on the next call / via release_caches() so
-# repeated query batches don't accumulate executor storage memory
-_LIVE_CACHES: list[DataFrame] = []
+# Intermediate caches (phase-1 top-k, phase-2 candidates) are tracked in a
+# REGISTRY scoped to the issuing context: GeoIndex instances each own one
+# (a new join on the SAME index releases that index's previous
+# intermediates only — other indexes' and sessions' in-flight joins are
+# untouched), and one-shot joins share a module registry released by the
+# next one-shot call (their results are consumed once by contract).  A
+# still-lazy earlier result remains CORRECT after release (Spark recomputes
+# the evicted subtree); only already-materialized reuse is affected.
+_ONESHOT_CACHES: list[DataFrame] = []
 
 
-def _register_cache(df: DataFrame) -> DataFrame:
+def _register_cache(df: DataFrame, registry: list[DataFrame]) -> DataFrame:
     df.persist()
-    _LIVE_CACHES.append(df)
+    registry.append(df)
     return df
 
 
-def release_caches() -> None:
-    """Unpersist intermediates from prior join calls.  A still-lazy earlier
-    result plan remains CORRECT after this (Spark recomputes the evicted
-    subtree); only already-materialized reuse is affected."""
-    while _LIVE_CACHES:
+def _release_registry(registry: list[DataFrame]) -> None:
+    while registry:
         try:
-            _LIVE_CACHES.pop().unpersist()
+            registry.pop().unpersist()
         except Exception:
             pass
+
+
+def release_caches() -> None:
+    """Unpersist intermediates from prior ONE-SHOT join calls (GeoIndex
+    instances release their own on each new join / unpersist())."""
+    _release_registry(_ONESHOT_CACHES)
 
 
 # ---------------------------------------------------------------- inputs
@@ -157,7 +165,11 @@ class CellStats:
 
 
 def _coarsen(cell: np.ndarray, from_level: int, to_level: int) -> np.ndarray:
-    """Map cell ids at from_level to their ancestor ids at to_level."""
+    """Map cell ids at from_level to their ancestor ids at to_level.
+    Requires from_level >= to_level: a negative NumPy shift is C-level UB
+    (callers' masks already exclude finer-than-target rows; this assert
+    turns a silent garbage path on other NumPy versions into an error)."""
+    assert from_level >= to_level, (from_level, to_level)
     nf = np.int64(1 << from_level)
     s = from_level - to_level
     ix = (cell % nf) >> s
@@ -254,8 +266,13 @@ def collect_cell_stats(
             # replace the hot fine rows with their finer decomposition:
             # drop rows whose ancestor at `fine` is hot (all such rows sit
             # at lvl >= fine by construction)
-            row_anc = np.empty(len(cell_arr), np.int64)
+            # rows coarser than `fine` (kept from an earlier extension) have
+            # no ancestor AT fine — mark -1 (the lvl_arr >= fine conjunct
+            # excludes them from `drop` anyway; -1 never hits hot_ids)
+            row_anc = np.full(len(cell_arr), -1, np.int64)
             for lv in np.unique(lvl_arr):
+                if lv < fine:
+                    continue
                 m = lvl_arr == lv
                 row_anc[m] = _coarsen(cell_arr[m], int(lv), fine)
             drop = np.isin(row_anc, hot_ids) & (lvl_arr >= fine)
@@ -279,9 +296,13 @@ def collect_cell_stats(
             continue
         nxt = min(cur + 3, fine)
         refinements.append((cur, nxt, np.sort(hot_ids)))
-        # narrow scope to rows under a hot cell (the iterative `scope`)
-        cur_anc = np.empty(len(cell_arr), np.int64)
+        # narrow scope to rows under a hot cell (the iterative `scope`);
+        # rows coarser than `cur` can't be under a hot cur-cell — -1 drops
+        # them from scope via the isin below
+        cur_anc = np.full(len(cell_arr), -1, np.int64)
         for lv in np.unique(lvl_arr):
+            if lv < cur:
+                continue
             m = lvl_arr == lv
             cur_anc[m] = _coarsen(cell_arr[m], int(lv), cur)
         scope_mask = scope_mask & np.isin(cur_anc, hot_ids)
@@ -292,8 +313,12 @@ def collect_cell_stats(
     # re-aggregating in Spark at key_sql granularity
     key_level = np.full(len(cell_arr), level, np.int64)
     for from_lvl, to_lvl, hot in refinements:
-        anc = np.empty(len(cell_arr), np.int64)
+        # rows coarser than from_lvl survived an extension un-decomposed —
+        # they are non-hot by construction and keep their key_level
+        anc = np.full(len(cell_arr), -1, np.int64)
         for lv in np.unique(lvl_arr):
+            if lv < from_lvl:
+                continue
             m = lvl_arr == lv
             anc[m] = _coarsen(cell_arr[m], int(lv), from_lvl)
         m = (key_level == from_lvl) & np.isin(anc, hot)
@@ -662,8 +687,11 @@ def _knn_join_on_index(
     queries: DataFrame,
     k: int,
     max_radius: float = float("inf"),
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
-    release_caches()  # intermediates of the PREVIOUS join call
+    if cache_registry is None:
+        cache_registry = _ONESHOT_CACHES
+    _release_registry(cache_registry)  # PREVIOUS call in this scope only
     q = queries.select(
         "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
     )
@@ -692,7 +720,7 @@ def _knn_join_on_index(
     # p1 feeds the final/merge split, bound rows, the p2 exclusion AND the
     # final union; cache it once (fills during the p2_cand materialization
     # below — no separate count() job).
-    p1 = _register_cache(p1)
+    p1 = _register_cache(p1, cache_registry)
     # single-salt home cells (the overwhelming majority): the kernel's
     # in-group rank/cnt ARE final — those rows skip the Q-sized window
     # exchange entirely.  Only multi-salt cells merge through the window.
@@ -769,7 +797,8 @@ def _knn_join_on_index(
     q_b = q_b.filter(~(F.col("bound") < F.col("home_edge"))).drop("home_edge")
     p2_cand = _knn_candidates(spark, q_b, stats, k, exclude_home=True, spread=False)
     p2_cand = _register_cache(
-        p2_cand.join(part_keys, "key").select("query_id", "x", "y", "part_key")
+        p2_cand.join(part_keys, "key").select("query_id", "x", "y", "part_key"),
+        cache_registry,
     )
     # ONE materialization job: fills the p1_topk cache (upstream) and the
     # p2_cand cache (consumed by the probe AND two broadcast subqueries)
@@ -848,6 +877,11 @@ class GeoIndex:
         self.part_keys = F.broadcast(
             spark.createDataFrame(_candidate_part_keys(self.stats))
         )
+        # per-index intermediate-cache registry: a new join on THIS index
+        # releases THIS index's previous intermediates (consume or
+        # materialize the previous result first if you need both); other
+        # indexes / sessions are never touched.
+        self._caches: list[DataFrame] = []
 
     @property
     def n_rows(self) -> int:
@@ -878,6 +912,7 @@ class GeoIndex:
             queries,
             k,
             max_radius=max_radius,
+            cache_registry=self._caches,
         )
 
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
@@ -949,6 +984,7 @@ class GeoIndex:
         return self.knn_join(q, k=k).select("image_id", "dist", "rank").collect()
 
     def unpersist(self) -> None:
+        _release_registry(self._caches)
         self.img_salted.unpersist()
 
 

@@ -5,9 +5,18 @@ rigid-motion spaces for motion planning (``/root/reference/README.md:6``;
 active test matrix ``test/kdtree_test.cpp:385-417`` runs StaticBuildAndQuery
 and dynamic Add/KNN for SO3, SO3Alt, SO3RL, SE3 and weighted SE3).  This
 module is the distributed twin, following the exact plan shape of the geo
-engine (``sparkkd.engine``): coarse space partition as the shuffle key,
-driver-side pruning stats, per-cell NumPy kernels inside one Arrow cogroup,
-and a window merge.
+engine (``sparkkd.engine``), including its TWO-PHASE search:
+
+* **phase 1 (home probe)**: every query probes its own grid cell first —
+  the distributed analogue of the reference's first descent — which yields
+  a TRUE kth-distance bound far tighter than any statistics-only bound;
+* **phase 2**: remaining cells are admitted against that bound through a
+  two-level coarse-group index (cells grouped by a coarser ancestor; a
+  query tests ~G group boxes and expands only the winners), so per-query
+  work no longer touches all C cells — the O(Q x C) sweep the geo engine
+  eliminated in round 2 (``engine._coarse_groups``) is gone here too.
+  Queries whose bound is strictly inside their home cell (home-edge early
+  exit) skip phase 2 entirely.
 
 SO(3) — antipodal R^4 reduction (reference SO3RL space,
 ``src/_so3rlspace.hpp:36-54``): for unit quaternions the angular metric
@@ -16,20 +25,31 @@ angular kNN over canonicalized points (q ~ -q collapsed to one sign) equals
 Euclidean R^4 kNN probed at BOTH +q and -q with the per-point best kept.
 The coarse partition is a 4-D grid over the canonicalized coefficients —
 the distributed analogue of the reference's 4-volume radix partition
-(``src/_so3space.hpp:594-658``).
+(``src/_so3space.hpp:594-658``).  Phase-2 extras for the minus probe:
+canonicalized corpus points all have ``cw >= 0``, so the minus probe (whose
+w coordinate is ``-cw_q <= 0``) is at least ``cw_q`` from EVERY corpus
+point — when the phase-1 bound is below that, the whole minus sweep dies on
+one scalar compare (the vast majority of queries at scale).
 
 SE(3) — compound space (``src/_spaces.hpp:369-421``): distance is
 ``rot_weight * angular + trans_weight * L2(translation)``.  The partition
-key is a 3-D grid over translation; rotation contributes 0 to the cell
-lower bound and its max (pi/2) to the count-bound upper bound, so pruning
-stays EXACT without indexing the 7-D product space.
+key is a 3-D grid over translation; a cell's compound lower bound is
+``trans_weight * dist-to-bbox`` (rotation contributes >= 0).  The phase-1
+home probe returns true compound kth distances, so the slack
+``rot_weight * pi/2`` term that inflated the round-2 statistics-only bound
+never enters the hot path (it remains only in the fallback for queries
+whose home cell holds fewer than k poses).
 
 IEEE parity with the DuckDB oracle: the final ranking distance is computed
 with term-for-term the same expression the oracle uses —
 ``arccos(min(1, |qw*pw + qx*px + qy*py + qz*pz|))`` with left-associated
-additions (NumPy elementwise adds in the same order) — so hash-exact
-comparison holds.  Canonicalization sign flips are exact in IEEE, so
-|dot(±a, ±b)| is bit-identical to |dot(a, b)|.
+additions (NumPy elementwise adds in the same order) and libm acos — so
+hash-exact comparison holds.  Canonicalization sign flips are exact in
+IEEE, so |dot(±a, ±b)| is bit-identical to |dot(a, b)|.  Inside the SE(3)
+kernel, selection uses NumPy's SIMD arccos (1 ulp off libm on ~1/3 of
+inputs) but keeps every candidate within a relative 1e-12 margin of the
+kth selection distance before exact libm rescoring, so a 1-ulp selection
+tie can never cut a candidate the oracle would rank inside k.
 """
 
 from __future__ import annotations
@@ -42,11 +62,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import kernel
+from .engine import _register_cache, _release_registry
 
 SALT_BITS = 12
 
 QCOLS = ("qw", "qx", "qy", "qz")
 TCOLS = ("tx", "ty", "tz")
+CCOLS = ("cw", "cx", "cy", "cz")  # canonicalized quaternion coefficients
+
+# one-shot join intermediates (indexes own per-instance registries)
+_ONESHOT_CACHES: list[DataFrame] = []
 
 
 # ------------------------------------------------------------ SQL helpers
@@ -87,29 +112,35 @@ def _axis_idx_sql(expr: str, vmin: float, vspan: float, n: int) -> str:
     )
 
 
-def so3_cell_sql(level: int) -> str:
-    """4-D grid id over the CANONICALIZED coefficients in [-1, 1]^4."""
-    n = 1 << level
-    s = canon_sign_sql()
-    parts = [_axis_idx_sql(f"({s} * {c})", -1.0, 2.0, n) for c in QCOLS]
-    expr = parts[0]
-    for p in parts[1:]:
-        expr = f"(({expr}) * CAST({n} AS BIGINT) + {p})"
-    return expr
-
-
-def trans_cell_sql(bounds: list[tuple[float, float]], level: int) -> str:
-    """3-D grid id over translation with DATA-DERIVED bounds (literals, so
-    the expression is identical across the stats and salted passes)."""
+def grid_cell_sql(
+    exprs: list[str], bounds: list[tuple[float, float]], level: int
+) -> str:
+    """d-D grid id over column exprs with per-axis (vmin, vspan) bounds;
+    axis 0 is the most significant digit."""
     n = 1 << level
     parts = [
-        _axis_idx_sql(c, lo, max(hi - lo, 1e-9), n)
-        for c, (lo, hi) in zip(TCOLS, bounds)
+        _axis_idx_sql(e, vmin, vspan, n) for e, (vmin, vspan) in zip(exprs, bounds)
     ]
     expr = parts[0]
     for p in parts[1:]:
         expr = f"(({expr}) * CAST({n} AS BIGINT) + {p})"
     return expr
+
+
+def so3_cell_sql(level: int) -> str:
+    """4-D grid id over the CANONICALIZED coefficients in [-1, 1]^4."""
+    s = canon_sign_sql()
+    return grid_cell_sql(
+        [f"({s} * {c})" for c in QCOLS], [(-1.0, 2.0)] * 4, level
+    )
+
+
+def trans_cell_sql(bounds: list[tuple[float, float]], level: int) -> str:
+    """3-D grid id over translation with DATA-DERIVED bounds (literals, so
+    the expression is identical across the stats and salted passes)."""
+    return grid_cell_sql(
+        list(TCOLS), [(lo, max(hi - lo, 1e-9)) for lo, hi in bounds], level
+    )
 
 
 # ------------------------------------------------------------------ stats
@@ -177,6 +208,21 @@ def _part_keys(spark: SparkSession, stats: PoseCellStats) -> DataFrame:
     )
 
 
+# --------------------------------------------------- pruning geometry (d-D)
+
+
+def _bbox_min_dist(p: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """(Q, C) min L2 distances from points (Q, d) to boxes (C, d)."""
+    dmin2 = np.zeros((len(p), len(lo)))
+    for j in range(p.shape[1]):
+        pj = p[:, j][:, None]
+        m = np.maximum(
+            np.maximum(lo[:, j][None, :] - pj, pj - hi[:, j][None, :]), 0.0
+        )
+        dmin2 += m * m
+    return np.sqrt(dmin2)
+
+
 def _bbox_min_max_dist(p: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     """(Q, C) min and max L2 distances from points (Q, d) to boxes (C, d);
     the d-generic twin of cells.bbox_min_dist / bbox_max_dist."""
@@ -196,7 +242,8 @@ def _bbox_min_max_dist(p: np.ndarray, lo: np.ndarray, hi: np.ndarray):
 def _count_bound(dmin, dmax, counts, k):
     """Per-row admission bound: walk cells in ascending dmax until their
     counts cover k — that dmax upper-bounds the kth-NN distance (same
-    reasoning as engine._knn_candidates)."""
+    reasoning as engine._knn_candidates).  Statistics-only FALLBACK for
+    queries without a phase-1 home bound."""
     order = np.argsort(dmax, axis=1, kind="stable")
     cum = np.cumsum(counts[order], axis=1)
     need = np.argmax(cum >= k, axis=1)
@@ -206,6 +253,92 @@ def _count_bound(dmin, dmax, counts, k):
     return np.where(
         enough, np.take_along_axis(dmax, order, axis=1)[rows, need], np.inf
     )
+
+
+def _coarsen_nd(cell: np.ndarray, level: int, coarse: int, dims: int) -> np.ndarray:
+    """Ancestor ids at `coarse` of d-D grid cells at `level` (axis 0 most
+    significant, the grid_cell_sql layout)."""
+    assert level >= coarse
+    n = np.int64(1 << level)
+    s = level - coarse
+    nc = np.int64(1 << coarse)
+    rem = cell.astype(np.int64, copy=True)
+    idxs = []
+    for _ in range(dims):
+        idxs.append(rem % n)
+        rem = rem // n
+    out = np.zeros(len(cell), np.int64)
+    for ix in reversed(idxs):  # axis 0 first
+        out = out * nc + (ix >> s)
+    return out
+
+
+def _coarse_groups_nd(stats: PoseCellStats, level: int, dims: int, shift: int):
+    """Two-level pruning index (the d-D twin of engine._coarse_groups):
+    cells grouped by their ancestor `shift` levels up; group box = union of
+    member data bboxes.  A query tests ~G group boxes and expands only the
+    winners, collapsing the O(Q x C) sweep to O(Q x G) + epsilon."""
+    coarse = max(0, level - shift)
+    anc = _coarsen_nd(stats.keys, level, coarse, dims)
+    g_ids, g_inv = np.unique(anc, return_inverse=True)
+    G = len(g_ids)
+    glo = np.full((G, dims), np.inf)
+    ghi = np.full((G, dims), -np.inf)
+    for j in range(dims):
+        np.minimum.at(glo[:, j], g_inv, stats.lo[:, j])
+        np.maximum.at(ghi[:, j], g_inv, stats.hi[:, j])
+    g_order = np.argsort(g_inv, kind="stable")
+    g_start = np.searchsorted(g_inv[g_order], np.arange(G + 1))
+    return glo, ghi, g_order, g_start
+
+
+def _grouped_candidates(
+    P: np.ndarray,
+    bound: np.ndarray,
+    keys: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    groups,
+    home: np.ndarray | None = None,
+    scale: float = 1.0,
+):
+    """Admit (query, cell) pairs with scale * dist-to-bbox <= bound through
+    the coarse-group index; `home` cells are skipped (fully probed in
+    phase 1).  Returns (qi, ci) index arrays into P / keys."""
+    glo, ghi, g_order, g_start = groups
+    dmin_g = scale * _bbox_min_dist(P, glo, ghi)
+    adm_g = dmin_g <= bound[:, None]
+    out_qi: list[np.ndarray] = []
+    out_ci: list[np.ndarray] = []
+    for g in np.nonzero(adm_g.any(axis=0))[0]:
+        rows_g = np.nonzero(adm_g[:, g])[0]
+        mem = g_order[g_start[g] : g_start[g + 1]]
+        dmin = scale * _bbox_min_dist(P[rows_g], lo[mem], hi[mem])
+        adm = dmin <= bound[rows_g][:, None]
+        if home is not None:
+            adm &= keys[mem][None, :] != home[rows_g][:, None]
+        qi_l, ci_l = np.nonzero(adm)
+        if len(qi_l) > 0:
+            out_qi.append(rows_g[qi_l])
+            out_ci.append(mem[ci_l])
+    if not out_qi:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(out_qi), np.concatenate(out_ci)
+
+
+def _grid_home_edge(
+    P: np.ndarray, vmin: np.ndarray, vspan: np.ndarray, n: int
+) -> np.ndarray:
+    """Distance from each point to the nearest boundary of its own grid
+    cell, minus a float-rounding margin (the d-D twin of the geo kernel's
+    home_edge): every point of every OTHER cell is at least this far away,
+    so a query whose bound is strictly below it skips phase 2 entirely."""
+    idx = np.clip(np.floor((P - vmin) / vspan * n), 0, n - 1)
+    w = vspan / n
+    lo = vmin + idx * w
+    edge = np.minimum(P - lo, lo + w - P).min(axis=1)
+    return edge - 1e-9 * max(float(np.max(vspan)), 1e-30)
 
 
 import math as _math
@@ -274,11 +407,11 @@ class So3Index:
             *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
         )
         self.stats = _collect_stats(
-            canon, self.cell_expr, [f"c{c[1]}" for c in QCOLS], max_cell_rows
+            canon, self.cell_expr, list(CCOLS), max_cell_rows
         )
         self.corpus = (
             _salted(canon, spark, self.stats, self.cell_expr, "pose_id")
-            .select("pose_id", "cw", "cx", "cy", "cz", "part_key")
+            .select("pose_id", *CCOLS, "part_key")
             .repartition(
                 int(spark.conf.get("spark.sql.shuffle.partitions")), "part_key"
             )
@@ -286,13 +419,16 @@ class So3Index:
         )
         self.corpus.count()  # materialize
         self.part_keys = _part_keys(spark, self.stats)
+        self._caches: list[DataFrame] = []
 
     def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
         return _so3_knn_on_index(
-            self.spark, self.corpus, self.stats, self.part_keys, queries, k
+            self.spark, self.corpus, self.stats, self.part_keys, queries, k,
+            self.level, cache_registry=self._caches,
         )
 
     def unpersist(self) -> None:
+        _release_registry(self._caches)
         self.corpus.unpersist()
 
 
@@ -311,11 +447,13 @@ def so3_knn_join(
     (query_id, pose_id, ang, rank).
 
     Plan: canonicalize -> 4-D grid cell key (+hash salts for hot cells) ->
-    per-query candidate cells from broadcast stats probed at BOTH +q and -q
-    (antipodal reduction) -> ONE cogroup running the 4-D k-d kernel ->
-    min per (query, pose) to dedupe antipodal double-hits -> window top-k.
-    Reference: SO3 build/query ``src/_so3space.hpp:594-658``, test matrix
-    ``test/kdtree_test.cpp:385-417``.
+    phase-1 HOME probe at both +q and -q (true kth bound) -> phase-2
+    coarse-group sweep of the remaining cells within the bound -> per-cell
+    4-D k-d kernels inside cogroups -> min per (query, pose) to dedupe
+    antipodal double-hits -> window top-k.
+    Reference: SO3 build/query ``src/_so3space.hpp:594-658``, ordered
+    volume traversal with early exit ``src/_so3space.hpp:401-423``, test
+    matrix ``test/kdtree_test.cpp:385-417``.
 
     One-shot convenience over :class:`So3Index` (kept unpersisted: the
     corpus is consumed once, exactly like engine.knn_join vs GeoIndex).
@@ -330,14 +468,12 @@ def so3_knn_join(
         *QCOLS,  # cell_expr reads the raw coefficients
         *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
     )
-    stats = _collect_stats(
-        canon, cell_expr, [f"c{c[1]}" for c in QCOLS], max_cell_rows
-    )
+    stats = _collect_stats(canon, cell_expr, list(CCOLS), max_cell_rows)
     corpus = _salted(
         canon, spark, stats, cell_expr, "pose_id"
-    ).select("pose_id", "cw", "cx", "cy", "cz", "part_key")
+    ).select("pose_id", *CCOLS, "part_key")
     part_keys = _part_keys(spark, stats)
-    return _so3_knn_on_index(spark, corpus, stats, part_keys, queries, k)
+    return _so3_knn_on_index(spark, corpus, stats, part_keys, queries, k, level)
 
 
 def _so3_knn_on_index(
@@ -347,65 +483,52 @@ def _so3_knn_on_index(
     part_keys: DataFrame,
     queries: DataFrame,
     k: int,
+    level: int,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
-    bc = spark.sparkContext.broadcast(
-        (stats.keys, stats.counts, stats.lo, stats.hi)
+    if cache_registry is None:
+        cache_registry = _ONESHOT_CACHES
+    _release_registry(cache_registry)
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sign = canon_sign_sql()
+    ccols = list(CCOLS)
+    qc = queries.select(
+        "query_id",
+        *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
+    ).repartition(shuffle_n)
+    bounds4 = [(-1.0, 2.0)] * 4
+    pos_key = grid_cell_sql(ccols, bounds4, level)
+    neg_key = grid_cell_sql([f"(- {c})" for c in ccols], bounds4, level)
+
+    # ---- phase 1: probe each probe-point's HOME cell (all salts) --------
+    # Two probe rows per query (+canon and -canon, the antipodal
+    # reduction); the inner join against part_keys drops probes whose home
+    # cell is unoccupied — in particular nearly every minus probe, since
+    # canonicalized corpus points live in the cw >= 0 half.
+    probes = (
+        qc.withColumn("sgn", F.lit(1.0)).withColumn("key", F.expr(pos_key))
+    ).unionByName(
+        qc.withColumn("sgn", F.lit(-1.0)).withColumn("key", F.expr(neg_key))
+    )
+    p1_cand = probes.join(part_keys, "key").select(
+        "query_id", *ccols, "sgn", "part_key"
     )
 
-    q = queries.select("query_id", *QCOLS).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
-
-    def gen(batches):
-        keys, counts, lo, hi = bc.value
-        C = len(keys)
-        for pdf in batches:
-            if len(pdf) == 0 or C == 0:
-                continue
-            Q = pdf[list(QCOLS)].to_numpy(np.float64)
-            s = canon_sign_np(Q)
-            cq = Q * s[:, None]
-            qid = pdf["query_id"].to_numpy()
-            chunk = max(64, 1_000_000 // max(C, 1))
-            for c0 in range(0, len(pdf), chunk):
-                sl = slice(c0, min(c0 + chunk, len(pdf)))
-                probes = [cq[sl], -cq[sl]]
-                dmins, dmaxs = zip(*(_bbox_min_max_dist(p, lo, hi) for p in probes))
-                # combined kth bound <= min over probes of per-probe bound
-                bound = np.minimum(
-                    _count_bound(dmins[0], dmaxs[0], counts, k),
-                    _count_bound(dmins[1], dmaxs[1], counts, k),
-                )
-                for p, dmin in zip(probes, dmins):
-                    qi, ci = np.nonzero(dmin <= bound[:, None])
-                    if len(qi) == 0:
-                        continue
-                    yield pd.DataFrame(
-                        {
-                            "query_id": qid[sl][qi],
-                            "pw": p[qi, 0],
-                            "px": p[qi, 1],
-                            "py": p[qi, 2],
-                            "pz": p[qi, 3],
-                            "key": keys[ci],
-                        }
-                    )
-
-    cand = q.mapInPandas(
-        gen,
-        schema="query_id string, pw double, px double, py double, pz double, key long",
-    ).join(part_keys, "key").select("query_id", "pw", "px", "py", "pz", "part_key")
-
-    def knn_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def p1_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "query_id": [], "pose_id": [], "ang": [], "eu": [],
+            "cw": [], "cx": [], "cy": [], "cz": [],
+        }
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "pose_id": [], "ang": []})
-        P = right[["cw", "cx", "cy", "cz"]].to_numpy(np.float64)
+            return pd.DataFrame(cols)
+        P = right[ccols].to_numpy(np.float64)
         ids = right["pose_id"].to_numpy()
         tie = np.empty(len(ids), dtype=np.int64)
         tie[np.argsort(ids)] = np.arange(len(ids))
         tree = kernel.build(P)
-        QP = left[["pw", "px", "py", "pz"]].to_numpy(np.float64)
-        qi, idx, _ = kernel.knn(tree, QP, k, tie_key=tie)
+        C4 = left[ccols].to_numpy(np.float64)
+        QP = C4 * left["sgn"].to_numpy(np.float64)[:, None]
+        qi, idx, eu = kernel.knn(tree, QP, k, tie_key=tie)
         # final metric recomputed with the oracle's exact expression (the
         # euclid->angular map is strictly monotone; candidate selection by
         # euclid is therefore rank-preserving)
@@ -415,22 +538,188 @@ def _so3_knn_on_index(
                 "query_id": left["query_id"].to_numpy()[qi],
                 "pose_id": ids[idx],
                 "ang": ang,
+                "eu": eu,
+                "cw": C4[qi, 0], "cx": C4[qi, 1],
+                "cy": C4[qi, 2], "cz": C4[qi, 3],
             }
         )
 
-    hits = (
-        cand.groupby("part_key")
+    p1 = (
+        p1_cand.groupby("part_key")
         .cogroup(corpus.groupby("part_key"))
-        .applyInPandas(knn_group, schema="query_id string, pose_id string, ang double")
+        .applyInPandas(
+            p1_group,
+            schema="query_id string, pose_id string, ang double, eu double,"
+            " cw double, cx double, cy double, cz double",
+        )
     )
-    # dedupe antipodal double-hits (same pose via +q and -q has equal ang)
-    merged = hits.groupBy("query_id", "pose_id").agg(F.min("ang").alias("ang"))
     w = Window.partitionBy("query_id").orderBy("ang", "pose_id")
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
+    wq = Window.partitionBy("query_id")
+    p1 = _register_cache(p1, cache_registry)
+    # no pose is double-hit in phase 1 (each pose lives in exactly one
+    # cell; the two probes target DIFFERENT cells), so ranks need no dedupe
+    p1_topk = (
+        p1.withColumn("rank", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wq))
+        .filter(F.col("rank") <= k)
+    )
+
+    # ---- phase 2: bound rows, early exits, coarse-group sweep -----------
+    # bound = max EUCLIDEAN distance over the top-k-by-angle rows when the
+    # home probes produced >= k rows: k distinct poses provably lie within
+    # it, so it upper-bounds the true kth distance (euclid-side, where all
+    # pruning geometry lives).
+    bound_rows = (
+        p1_topk.withColumn("eumax", F.max("eu").over(wq))
+        .filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
+        .select(
+            "query_id", *ccols,
+            F.when(F.col("cnt") >= k, F.col("eumax"))
+            .otherwise(F.lit(float("inf")))
+            .alias("bound"),
+        )
+    )
+    # queries with BOTH home cells unoccupied never reach p1: recover them
+    # with broadcast anti joins against the (small) occupied-key set.
+    occ = part_keys.select("key").distinct()
+    qk = qc.withColumn("kp", F.expr(pos_key)).withColumn("kn", F.expr(neg_key))
+    absent = (
+        qk.join(F.broadcast(occ.withColumnRenamed("key", "kp")), "kp", "left_anti")
+        .join(F.broadcast(occ.withColumnRenamed("key", "kn")), "kn", "left_anti")
+        .select("query_id", *ccols, F.lit(float("inf")).alias("bound"))
+    )
+    q_b = (
+        bound_rows.unionByName(absent)
+        .withColumn("kp", F.expr(pos_key))
+        .withColumn("kn", F.expr(neg_key))
+    )
+
+    groups = _coarse_groups_nd(stats, level, dims=4, shift=1)
+    bc = spark.sparkContext.broadcast(
+        (stats.keys, stats.counts, stats.lo, stats.hi) + groups
+    )
+    n_cells = 1 << level
+
+    def gen(batches):
+        keys, counts, lo, hi, glo, ghi, gord, gstart = bc.value
+        C = len(keys)
+        G_ = len(glo)
+        vmin = np.full(4, -1.0)
+        vspan = np.full(4, 2.0)
+        for pdf in batches:
+            if len(pdf) == 0 or C == 0:
+                continue
+            C4 = pdf[ccols].to_numpy(np.float64)
+            given = pdf["bound"].to_numpy(np.float64)
+            kp = pdf["kp"].to_numpy(np.int64)
+            kn = pdf["kn"].to_numpy(np.int64)
+            qid = pdf["query_id"].to_numpy()
+            chunk = max(256, 8_000_000 // max(G_, 1))
+            for c0 in range(0, len(pdf), chunk):
+                sl = slice(c0, min(c0 + chunk, len(pdf)))
+                P4 = C4[sl]
+                b = given[sl].copy()
+                nb = np.nonzero(~np.isfinite(b))[0]
+                if len(nb) > 0:
+                    # statistics-only fallback for the (few) queries whose
+                    # home probes covered fewer than k poses
+                    dps = [
+                        _bbox_min_max_dist(s * P4[nb], lo, hi)
+                        for s in (1.0, -1.0)
+                    ]
+                    b[nb] = np.minimum(
+                        _count_bound(dps[0][0], dps[0][1], counts, k),
+                        _count_bound(dps[1][0], dps[1][1], counts, k),
+                    )
+                edge = _grid_home_edge(P4, vmin, vspan, n_cells)
+                for sgn, home in ((1.0, kp[sl]), (-1.0, kn[sl])):
+                    if sgn > 0:
+                        # home-edge early exit: a bound strictly inside the
+                        # home cell can't be beaten by any other cell
+                        alive = ~(b < edge)
+                    else:
+                        # canonical corpus points all have cw >= 0, so the
+                        # minus probe (w = -cw_q <= 0) is >= cw_q from every
+                        # point: one compare kills most minus sweeps
+                        alive = ~(b < P4[:, 0])
+                    rows = np.nonzero(alive)[0]
+                    if len(rows) == 0:
+                        continue
+                    qi, ci = _grouped_candidates(
+                        sgn * P4[rows], b[rows], keys, lo, hi,
+                        (glo, ghi, gord, gstart), home=home[rows],
+                    )
+                    if len(qi) == 0:
+                        continue
+                    pr = sgn * P4[rows[qi]]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid[sl][rows[qi]],
+                            "pw": pr[:, 0], "px": pr[:, 1],
+                            "py": pr[:, 2], "pz": pr[:, 3],
+                            "key": keys[ci],
+                        }
+                    )
+
+    p2_cand = q_b.mapInPandas(
+        gen,
+        schema="query_id string, pw double, px double, py double, pz double,"
+        " key long",
+    )
+    p2_cand = _register_cache(
+        p2_cand.join(part_keys, "key").select(
+            "query_id", "pw", "px", "py", "pz", "part_key"
+        ),
+        cache_registry,
+    )
+    p2_cand.count()  # one job fills the p1 cache (upstream) + p2_cand
+    probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
+    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+
+    def p2_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "pose_id": [], "ang": []})
+        P = right[ccols].to_numpy(np.float64)
+        ids = right["pose_id"].to_numpy()
+        tie = np.empty(len(ids), dtype=np.int64)
+        tie[np.argsort(ids)] = np.arange(len(ids))
+        tree = kernel.build(P)
+        QP = left[["pw", "px", "py", "pz"]].to_numpy(np.float64)
+        qi, idx, _ = kernel.knn(tree, QP, k, tie_key=tie)
+        ang = _angular_np(QP[qi], P[idx])
+        return pd.DataFrame(
+            {
+                "query_id": left["query_id"].to_numpy()[qi],
+                "pose_id": ids[idx],
+                "ang": ang,
+            }
+        )
+
+    p2 = (
+        p2_cand.groupby("part_key")
+        .cogroup(corp_probe.groupby("part_key"))
+        .applyInPandas(p2_group, schema="query_id string, pose_id string, ang double")
+    )
+
+    # re-rank ONLY queries phase 2 touched; a phase-2 probe may re-hit a
+    # pose phase 1 saw from the other sign, so dedupe by min ang first
+    affected = F.broadcast(p2_cand.select("query_id").distinct())
+    untouched = p1_topk.join(affected, "query_id", "left_anti").select(
+        "query_id", "pose_id", "ang", F.col("rank").cast("int")
+    )
+    touched = (
+        p1_topk.join(affected, "query_id", "left_semi")
+        .select("query_id", "pose_id", "ang")
+        .unionByName(p2)
+        .groupBy("query_id", "pose_id")
+        .agg(F.min("ang").alias("ang"))
+    )
+    reranked = (
+        touched.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "pose_id", "ang", F.col("rank").cast("int"))
     )
+    return untouched.unionByName(reranked)
 
 
 # ------------------------------------------------------------ SE(3) join
@@ -458,8 +747,8 @@ class Se3Index:
             *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
             *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
         ).first()
-        bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
-        self.cell_expr = trans_cell_sql(bounds, level)
+        self.bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
+        self.cell_expr = trans_cell_sql(self.bounds, level)
         self.stats = _collect_stats(poses, self.cell_expr, list(TCOLS), max_cell_rows)
         self.corpus = (
             _salted(poses, spark, self.stats, self.cell_expr, "pose_id")
@@ -471,6 +760,7 @@ class Se3Index:
         )
         self.corpus.count()  # materialize
         self.part_keys = _part_keys(spark, self.stats)
+        self._caches: list[DataFrame] = []
 
     def knn_join(
         self,
@@ -481,10 +771,12 @@ class Se3Index:
     ) -> DataFrame:
         return _se3_knn_on_index(
             self.spark, self.corpus, self.stats, self.part_keys, queries, k,
-            rot_weight, trans_weight,
+            rot_weight, trans_weight, self.level, self.bounds, self.cell_expr,
+            cache_registry=self._caches,
         )
 
     def unpersist(self) -> None:
+        _release_registry(self._caches)
         self.corpus.unpersist()
 
 
@@ -507,9 +799,11 @@ def se3_knn_join(
 
     Partition key: 3-D grid over translation (data-derived bounds).  Cell
     pruning is exact: lower bound = trans_weight * dist-to-bbox (rotation
-    contributes >= 0); count-bound upper bound adds rot_weight * pi/2 (the
-    angular metric's diameter).  Per-cell kernel evaluates the FULL
-    compound distance vectorized (cells hold O(max_cell_rows) rows).
+    contributes >= 0); the phase-1 home probe supplies TRUE compound kth
+    distances, so the ``rot_weight * pi/2`` diameter slack enters only the
+    fallback for queries whose home holds fewer than k poses.  Per-cell
+    kernel evaluates the FULL compound distance vectorized (cells hold
+    O(max_cell_rows) rows).
     One-shot convenience over :class:`Se3Index` (corpus unpersisted)."""
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
@@ -526,77 +820,31 @@ def se3_knn_join(
     )
     part_keys = _part_keys(spark, stats)
     return _se3_knn_on_index(
-        spark, corpus, stats, part_keys, queries, k, rot_weight, trans_weight
+        spark, corpus, stats, part_keys, queries, k, rot_weight, trans_weight,
+        level, bounds, cell_expr,
     )
 
 
-def _se3_knn_on_index(
-    spark: SparkSession,
-    corpus: DataFrame,
-    stats: PoseCellStats,
-    part_keys: DataFrame,
-    queries: DataFrame,
-    k: int,
-    rot_weight: float,
-    trans_weight: float,
-) -> DataFrame:
-    rw, tw = float(rot_weight), float(trans_weight)
-    rot_diam = rw * (np.pi / 2.0)
-    bc = spark.sparkContext.broadcast((stats.keys, stats.counts, stats.lo, stats.hi))
-
-    q = queries.select("query_id", *QCOLS, *TCOLS).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
-
-    def gen(batches):
-        keys, counts, lo, hi = bc.value
-        C = len(keys)
-        for pdf in batches:
-            if len(pdf) == 0 or C == 0:
-                continue
-            T = pdf[list(TCOLS)].to_numpy(np.float64)
-            chunk = max(64, 1_000_000 // max(C, 1))
-            for c0 in range(0, len(pdf), chunk):
-                sl = slice(c0, min(c0 + chunk, len(pdf)))
-                dmin, dmax = _bbox_min_max_dist(T[sl], lo, hi)
-                # count-bound on the compound upper bound; admission on the
-                # compound lower bound (rotation >= 0)
-                ub = tw * dmax + rot_diam
-                order = np.argsort(ub, axis=1, kind="stable")
-                cum = np.cumsum(counts[order], axis=1)
-                need = np.argmax(cum >= k, axis=1)
-                enough = cum[:, -1] >= k
-                need = np.where(enough, need, C - 1)
-                rows = np.arange(len(need))
-                bound = np.where(
-                    enough, np.take_along_axis(ub, order, axis=1)[rows, need], np.inf
-                )
-                qi, ci = np.nonzero(tw * dmin <= bound[:, None])
-                if len(qi) == 0:
-                    continue
-                out = pdf.iloc[np.asarray(qi) + c0][
-                    ["query_id", *QCOLS, *TCOLS]
-                ].copy()
-                out["key"] = keys[ci]
-                yield out
-
-    cand = q.mapInPandas(
-        gen,
-        schema="query_id string, qw double, qx double, qy double, qz double,"
-        " tx double, ty double, tz double, key long",
-    ).join(part_keys, "key").drop("key")
+def _make_se3_group(k: int, rw: float, tw: float, carry: bool):
+    """Cogroup kernel: FULL compound distance, vectorized, with the
+    selection cut taken on NumPy's SIMD arccos but padded by a relative
+    1e-12 margin before exact libm rescoring — candidates tying the kth
+    selection distance within the SIMD/libm 1-ulp gap are all kept, so the
+    downstream window (ordered by the EXACT dist) decides oracle-exactly.
+    carry=True passes the query pose through (phase 1 feeds bound rows)."""
 
     def se3_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = {"query_id": [], "pose_id": [], "dist": []}
+        if carry:
+            cols.update({c: [] for c in (*QCOLS, *TCOLS)})
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "pose_id": [], "dist": []})
+            return pd.DataFrame(cols)
         QR = left[list(QCOLS)].to_numpy(np.float64)
         QT = left[list(TCOLS)].to_numpy(np.float64)
         PR = right[list(QCOLS)].to_numpy(np.float64)
         PT = right[list(TCOLS)].to_numpy(np.float64)
         ids = right["pose_id"].to_numpy()
-        tie = np.empty(len(ids), dtype=np.int64)
-        tie[np.argsort(ids)] = np.arange(len(ids))
-        out_q, out_p, out_d = [], [], []
+        out = []
         for c0 in range(0, len(left), 1024):  # memory-bounding chunk loop
             sl = slice(c0, min(c0 + 1024, len(left)))
             # oracle-exact expression, left-associated adds throughout
@@ -612,33 +860,185 @@ def _se3_knn_on_index(
             et = np.sqrt(dx * dx + dy * dy + dz * dz)
             d = rw * ang + tw * et
             kk = min(k, d.shape[1])
-            order = np.lexsort((np.broadcast_to(tie, d.shape), d), axis=1)[:, :kk]
-            rows = np.repeat(np.arange(d.shape[0]), kk)
-            cols = order.ravel()
-            out_q.append(left["query_id"].to_numpy()[sl][rows])
-            out_p.append(ids[cols])
-            # FINAL values via libm acos — oracle-bit-exact (the 1-ulp
-            # SIMD/libm gap can't flip the selection unless two compound
-            # distances tie within ~1 ulp)
-            out_d.append(
-                rw * acos_exact(ldot[rows, cols]) + tw * et[rows, cols]
-            )
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "pose_id": np.concatenate(out_p),
-                "dist": np.concatenate(out_d),
+            dk = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+            thr = dk * (1.0 + 1e-12) + 1e-15  # ulp-tie safety margin
+            rows, cols_i = np.nonzero(d <= thr[:, None])
+            chunk_out = {
+                "query_id": left["query_id"].to_numpy()[sl][rows],
+                "pose_id": ids[cols_i],
+                # FINAL values via libm acos — oracle-bit-exact
+                "dist": rw * acos_exact(ldot[rows, cols_i])
+                + tw * et[rows, cols_i],
             }
-        )
+            if carry:
+                for j, c in enumerate(QCOLS):
+                    chunk_out[c] = QR[sl][rows, j]
+                for j, c in enumerate(TCOLS):
+                    chunk_out[c] = QT[sl][rows, j]
+            out.append(pd.DataFrame(chunk_out))
+        return pd.concat(out, ignore_index=True)
 
-    hits = (
-        cand.groupby("part_key")
+    return se3_group
+
+
+def _se3_knn_on_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    stats: PoseCellStats,
+    part_keys: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rot_weight: float,
+    trans_weight: float,
+    level: int,
+    bounds: list[tuple[float, float]],
+    cell_expr: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    if cache_registry is None:
+        cache_registry = _ONESHOT_CACHES
+    _release_registry(cache_registry)
+    rw, tw = float(rot_weight), float(trans_weight)
+    rot_diam = rw * (np.pi / 2.0)
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
+
+    # ---- phase 1: home-cell probe (all salts) — TRUE compound bound -----
+    q_home = q.withColumn("key", F.expr(cell_expr))
+    p1_cand = q_home.join(part_keys, "key").select(
+        "query_id", *QCOLS, *TCOLS, "part_key"
+    )
+    carry_schema = (
+        "query_id string, pose_id string, dist double, "
+        + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
+    )
+    p1 = (
+        p1_cand.groupby("part_key")
         .cogroup(corpus.groupby("part_key"))
-        .applyInPandas(se3_group, schema="query_id string, pose_id string, dist double")
+        .applyInPandas(_make_se3_group(k, rw, tw, carry=True), schema=carry_schema)
     )
     w = Window.partitionBy("query_id").orderBy("dist", "pose_id")
-    return (
-        hits.withColumn("rank", F.row_number().over(w))
+    wq = Window.partitionBy("query_id")
+    p1 = _register_cache(p1, cache_registry)
+    p1_topk = (
+        p1.withColumn("rank", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wq))
+        .filter(F.col("rank") <= k)
+    )
+    bound_rows = (
+        p1_topk.withColumn("dmx", F.max("dist").over(wq))
+        .filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
+        .select(
+            "query_id", *QCOLS, *TCOLS,
+            F.when(F.col("cnt") >= k, F.col("dmx"))
+            .otherwise(F.lit(float("inf")))
+            .alias("bound"),
+        )
+    )
+    absent = (
+        q_home.join(part_keys, "key", "left_anti")
+        .select("query_id", *QCOLS, *TCOLS, F.lit(float("inf")).alias("bound"))
+    )
+    q_b = (
+        bound_rows.unionByName(absent)
+        .withColumn("home_key", F.expr(cell_expr))
+    )
+
+    # ---- phase 2: coarse-group sweep within the compound bound ----------
+    groups = _coarse_groups_nd(stats, level, dims=3, shift=2)
+    bc = spark.sparkContext.broadcast(
+        (stats.keys, stats.counts, stats.lo, stats.hi) + groups
+    )
+    n_cells = 1 << level
+    vmin_a = np.array([lo for lo, _ in bounds])
+    vspan_a = np.array([max(hi - lo, 1e-9) for lo, hi in bounds])
+
+    def gen(batches):
+        keys, counts, lo, hi, glo, ghi, gord, gstart = bc.value
+        C = len(keys)
+        G_ = len(glo)
+        for pdf in batches:
+            if len(pdf) == 0 or C == 0:
+                continue
+            T = pdf[list(TCOLS)].to_numpy(np.float64)
+            given = pdf["bound"].to_numpy(np.float64)
+            home = pdf["home_key"].to_numpy(np.int64)
+            chunk = max(256, 8_000_000 // max(G_, 1))
+            for c0 in range(0, len(pdf), chunk):
+                sl = slice(c0, min(c0 + chunk, len(pdf)))
+                P3 = T[sl]
+                b = given[sl].copy()
+                nb = np.nonzero(~np.isfinite(b))[0]
+                if len(nb) > 0:
+                    # fallback count-bound: compound upper bound inflated
+                    # by the angular diameter (home had < k poses)
+                    dmin, dmax = _bbox_min_max_dist(P3[nb], lo, hi)
+                    ub = tw * dmax + rot_diam
+                    order = np.argsort(ub, axis=1, kind="stable")
+                    cum = np.cumsum(counts[order], axis=1)
+                    need = np.argmax(cum >= k, axis=1)
+                    enough = cum[:, -1] >= k
+                    need = np.where(enough, need, C - 1)
+                    rr = np.arange(len(need))
+                    b[nb] = np.where(
+                        enough,
+                        np.take_along_axis(ub, order, axis=1)[rr, need],
+                        np.inf,
+                    )
+                # home-edge early exit in COMPOUND units: every pose of
+                # every other cell is >= tw * edge away
+                edge = tw * _grid_home_edge(P3, vmin_a, vspan_a, n_cells)
+                alive = ~(b < edge)
+                rows = np.nonzero(alive)[0]
+                if len(rows) == 0:
+                    continue
+                qi, ci = _grouped_candidates(
+                    P3[rows], b[rows], keys, lo, hi,
+                    (glo, ghi, gord, gstart), home=home[sl][rows], scale=tw,
+                )
+                if len(qi) == 0:
+                    continue
+                out = pdf.iloc[np.asarray(rows[qi]) + c0][
+                    ["query_id", *QCOLS, *TCOLS]
+                ].copy()
+                out["key"] = keys[ci]
+                yield out
+
+    p2_cand = q_b.mapInPandas(
+        gen,
+        schema="query_id string, "
+        + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
+        + ", key long",
+    )
+    p2_cand = _register_cache(
+        p2_cand.join(part_keys, "key").drop("key"), cache_registry
+    )
+    p2_cand.count()
+    probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
+    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+    p2 = (
+        p2_cand.groupby("part_key")
+        .cogroup(corp_probe.groupby("part_key"))
+        .applyInPandas(
+            _make_se3_group(k, rw, tw, carry=False),
+            schema="query_id string, pose_id string, dist double",
+        )
+    )
+
+    # no dedupe needed: a pose lives in exactly one cell — home poses only
+    # in phase 1, others only in phase 2 (single probe point)
+    affected = F.broadcast(p2_cand.select("query_id").distinct())
+    untouched = (
+        p1_topk.join(affected, "query_id", "left_anti")
+        .select("query_id", "pose_id", "dist", F.col("rank").cast("int"))
+    )
+    reranked = (
+        p1_topk.join(affected, "query_id", "left_semi")
+        .select("query_id", "pose_id", "dist")
+        .unionByName(p2)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "pose_id", "dist", F.col("rank").cast("int"))
     )
+    return untouched.unionByName(reranked)
