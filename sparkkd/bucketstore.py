@@ -136,6 +136,8 @@ class BucketedGeoIndex:
         self.part_keys = F.broadcast(
             spark.createDataFrame(engine._candidate_part_keys(self.stats))
         )
+        # per-index intermediate-cache registry (see engine.GeoIndex)
+        self._caches: list[DataFrame] = []
 
     @classmethod
     def load(cls, spark: SparkSession, path: str | Path) -> "BucketedGeoIndex":
@@ -153,6 +155,7 @@ class BucketedGeoIndex:
             queries,
             k,
             max_radius=max_radius,
+            cache_registry=self._caches,
         )
 
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:

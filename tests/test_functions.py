@@ -167,3 +167,23 @@ def test_project_to_axis_unit_2vector():
         r = fx.rotate_coeffs(q, vol)
         expect_ratio = r[:, axis + 1] / r[:, 0]
         assert np.allclose(v[:, 1] / v[:, 0], expect_ratio)
+
+
+def test_slerp_exact_matches_simd_slerp():
+    """slerp_exact (libm, oracle expression order) must agree with the
+    SIMD so3_interpolate to float tolerance, be a unit quaternion, and hit
+    the endpoints exactly."""
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(256, 4))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b = rng.normal(size=(256, 4))
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    for t in (0.0, 0.25, 0.5, 1.0):
+        s = fx.slerp_exact(a, b, t)
+        assert np.allclose(np.linalg.norm(s, axis=1), 1.0, atol=1e-12)
+        ref = fx.so3_interpolate(a, b, np.full(len(a), t))
+        # same rotation: |dot| == 1 up to float noise
+        assert np.allclose(np.abs((s * ref).sum(axis=1)), 1.0, atol=1e-9)
+    # degenerate: a == b stays put (small-theta branch)
+    s = fx.slerp_exact(a, a, 0.25)
+    assert np.allclose(np.abs((s * a).sum(axis=1)), 1.0, atol=1e-12)
