@@ -258,27 +258,36 @@ def minhash_lsh_pairs(
 # ------------------------------------------- dedup: exact Hamming banding
 
 
-def phash_near_dup(images: DataFrame, max_hamming: int = 8) -> DataFrame:
+def phash_near_dup(
+    images: DataFrame, max_hamming: int = 8, variant_bits: int = 1
+) -> DataFrame:
     """EXACT near-duplicate image pairs by Hamming distance on the 64-bit
     perceptual hash: all (a, b) with ``popcount(phash_a XOR phash_b) <=
     max_hamming``, a < b by image_id.
 
     MULTI-INDEX pigeonhole banding (the scalable simhash/phash pattern,
     upgraded from round-1's exact-match bands): split the 64 bits into
-    ``m = floor(t/2) + 1`` blocks — if every block had >= 2 flipped bits the
-    total would be >= 2m > t, so some block differs in AT MOST ONE bit.
-    Each image therefore indexes, per block, its plain key plus every
-    single-bit-flip variant; candidates come from equi-joining variant keys
-    against plain keys (co-partitioned shuffle joins — no cross join), then
-    the exact popcount filter runs as a built-in expression.
+    ``m = floor(t/(v+1)) + 1`` blocks (v = variant_bits) — if every block
+    had >= v+1 flipped bits the total would be >= (v+1)m > t, so some
+    block differs in AT MOST v bits.  Each image therefore indexes, per
+    block, its plain key plus every <=v-bit-flip variant; candidates come
+    from equi-joining variant keys against plain keys (co-partitioned
+    shuffle joins — no cross join), then the exact popcount filter runs as
+    a built-in expression.
 
-    Why this scales where t+1 exact bands don't: at t=8, exact banding
-    yields 7-bit keys (128 buckets/band -> bucket occupancy N/128 ->
-    candidates ~N^2/128); here keys are ~13-bit (8192 buckets) at ~8x the
-    index rows — a 64x candidate-density win that grows with key width.
+    Key-width / index-row tradeoff at t=8:
+
+    * v=1 (default): 5 blocks, ~13-bit keys (8K buckets), ~70 index
+      rows/image — a 64x candidate-density win over round-1's 7-bit exact
+      bands; right up to ~10^7-10^8 images.
+    * v=2: 3 blocks, 21-22-bit keys (~4M buckets), ~760 index rows/image
+      — another ~512x bucket sparsity for ~11x index rows; the 10^9-image
+      second stage (same output, asserted equal in tests).
 
     Output (id_a, id_b, hamming), hamming as int."""
-    m = max_hamming // 2 + 1
+    v = int(variant_bits)
+    assert v in (1, 2), "variant_bits must be 1 or 2"
+    m = max_hamming // (v + 1) + 1
     base_w = 64 // m
     rem = 64 % m
     plain_exprs = []
@@ -291,12 +300,25 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 8) -> DataFrame:
         else:  # top block reaches bit 63: the logical shift IS the mask
             key = f"shiftrightunsigned(phash, {lo})"
         plain_exprs.append(f"struct({b} AS band, {key} AS key)")
-        # j = -1 emits the plain key; j in 0..wd-1 flips one bit of it
-        var_exprs.append(
-            f"transform(sequence(-1, {wd - 1}), j -> struct({b} AS band,"
-            f" CASE WHEN j < 0 THEN {key} ELSE"
-            f" {key} ^ shiftleft(CAST(1 AS BIGINT), j) END AS key))"
-        )
+        if v == 1:
+            # j = -1 emits the plain key; j in 0..wd-1 flips one bit of it
+            var_exprs.append(
+                f"transform(sequence(-1, {wd - 1}), j -> struct({b} AS band,"
+                f" CASE WHEN j < 0 THEN {key} ELSE"
+                f" {key} ^ shiftleft(CAST(1 AS BIGINT), j) END AS key))"
+            )
+        else:
+            # pairs (j1 < j2) over -1..wd-1: (-1, j) = single flips,
+            # (j1>=0, j2) = double flips; the plain key is appended once
+            flip = "CASE WHEN {j} < 0 THEN CAST(0 AS BIGINT) ELSE shiftleft(CAST(1 AS BIGINT), {j}) END"
+            f1 = flip.format(j="j1")
+            f2 = flip.format(j="j2")
+            var_exprs.append(
+                f"concat(flatten(transform(sequence(-1, {wd - 1}), j1 ->"
+                f" transform(sequence(j1 + 1, {wd - 1}), j2 ->"
+                f" struct({b} AS band, {key} ^ {f1} ^ {f2} AS key)))),"
+                f" array(struct({b} AS band, {key} AS key)))"
+            )
         lo += wd
     plain = images.select(
         F.col("image_id"),

@@ -7,16 +7,25 @@ and dynamic Add/KNN for SO3, SO3Alt, SO3RL, SE3 and weighted SE3).  This
 module is the distributed twin, following the exact plan shape of the geo
 engine (``sparkkd.engine``), including its TWO-PHASE search:
 
-* **phase 1 (home probe)**: every query probes its own grid cell first —
-  the distributed analogue of the reference's first descent — which yields
-  a TRUE kth-distance bound far tighter than any statistics-only bound;
-* **phase 2**: remaining cells are admitted against that bound through a
-  two-level coarse-group index (cells grouped by a coarser ancestor; a
-  query tests ~G group boxes and expands only the winners), so per-query
-  work no longer touches all C cells — the O(Q x C) sweep the geo engine
-  eliminated in round 2 (``engine._coarse_groups``) is gone here too.
-  Queries whose bound is strictly inside their home cell (home-edge early
-  exit) skip phase 2 entirely.
+* **phase 1 (home probe)**: every query probes its own partition GROUP
+  first — the distributed analogue of the reference's first descent —
+  yielding a TRUE kth-distance bound far tighter than any statistics-only
+  bound;
+* **phase 2**: remaining groups are admitted against that bound through
+  fine-grained cell statistics; queries whose bound is strictly inside
+  their home grid cell (home-edge early exit) skip phase 2 entirely.
+
+TWO-LEVEL LAYOUT (round-3 profiling insight): pruning statistics live at a
+FINE grid level (tight per-cell data bboxes — the pruning power), while
+the shuffle / cogroup partition key is the cell's ancestor `GROUP_SHIFT`
+levels up (2^(d*shift)-fold fewer Python cogroup groups).  At 1M poses the
+fine grid has ~8k occupied cells: cogrouping per fine cell paid ~8k
+Arrow/worker round-trips PER PHASE, which dominated wall-clock; group-level
+cogroups cut that by 16x (4-D) while per-group kernels stay small (a few
+thousand rows).  Bonus exactness wins: phase 1 probes the WHOLE home group
+(more candidates => tighter bound, and the entire group is excluded from
+phase 2), and the home-edge exit tests the wider coarse cell => more
+queries exit.
 
 SO(3) — antipodal R^4 reduction (reference SO3RL space,
 ``src/_so3rlspace.hpp:36-54``): for unit quaternions the angular metric
@@ -25,11 +34,12 @@ angular kNN over canonicalized points (q ~ -q collapsed to one sign) equals
 Euclidean R^4 kNN probed at BOTH +q and -q with the per-point best kept.
 The coarse partition is a 4-D grid over the canonicalized coefficients —
 the distributed analogue of the reference's 4-volume radix partition
-(``src/_so3space.hpp:594-658``).  Phase-2 extras for the minus probe:
+(``src/_so3space.hpp:594-658``).  Phase-2 extra for the minus probe:
 canonicalized corpus points all have ``cw >= 0``, so the minus probe (whose
 w coordinate is ``-cw_q <= 0``) is at least ``cw_q`` from EVERY corpus
 point — when the phase-1 bound is below that, the whole minus sweep dies on
-one scalar compare (the vast majority of queries at scale).
+one scalar compare (and the minus probe's home group is unoccupied almost
+surely, so it contributes no phase-1 kernel work either).
 
 SE(3) — compound space (``src/_spaces.hpp:369-421``): distance is
 ``rot_weight * angular + trans_weight * L2(translation)``.  The partition
@@ -38,7 +48,7 @@ key is a 3-D grid over translation; a cell's compound lower bound is
 home probe returns true compound kth distances, so the slack
 ``rot_weight * pi/2`` term that inflated the round-2 statistics-only bound
 never enters the hot path (it remains only in the fallback for queries
-whose home cell holds fewer than k poses).
+whose home group holds fewer than k poses).
 
 IEEE parity with the DuckDB oracle: the final ranking distance is computed
 with term-for-term the same expression the oracle uses —
@@ -65,6 +75,7 @@ from . import kernel
 from .engine import _register_cache, _release_registry
 
 SALT_BITS = 12
+GROUP_SHIFT = 1  # partition key = fine cell's ancestor this many levels up
 
 QCOLS = ("qw", "qx", "qy", "qz")
 TCOLS = ("tx", "ty", "tz")
@@ -116,7 +127,9 @@ def grid_cell_sql(
     exprs: list[str], bounds: list[tuple[float, float]], level: int
 ) -> str:
     """d-D grid id over column exprs with per-axis (vmin, vspan) bounds;
-    axis 0 is the most significant digit."""
+    axis 0 is the most significant digit.  The id at level L-1 of a point
+    equals the per-axis >>1 coarsening of its id at L (floor(x/2) ==
+    floor(floor(x)/2)), so coarse SQL keys agree with _coarsen_nd."""
     n = 1 << level
     parts = [
         _axis_idx_sql(e, vmin, vspan, n) for e, (vmin, vspan) in zip(exprs, bounds)
@@ -148,19 +161,38 @@ def trans_cell_sql(bounds: list[tuple[float, float]], level: int) -> str:
 
 @dataclass
 class PoseCellStats:
-    keys: np.ndarray  # (C,) int64 cell ids
+    """FINE-level pruning statistics: one row per occupied fine grid cell
+    (tight data bboxes drive phase-2 admission)."""
+
+    keys: np.ndarray  # (C,) int64 fine cell ids
     counts: np.ndarray  # (C,) int64
     lo: np.ndarray  # (C, d) per-cell data bbox lows (d=4 rot / d=3 trans)
     hi: np.ndarray  # (C, d)
-    salt_n: np.ndarray  # (C,) int64
 
     @property
     def total(self) -> int:
         return int(self.counts.sum())
 
 
+@dataclass
+class GroupLayout:
+    """COARSE-level partition layout: fine cells grouped by their ancestor
+    GROUP_SHIFT levels up.  The group id (plus a hash salt for hot groups)
+    is the cogroup/shuffle key; group boxes = union of member fine bboxes
+    serve as the first pruning level."""
+
+    g_keys: np.ndarray  # (G,) coarse ids (partition keys sans salt)
+    g_counts: np.ndarray  # (G,)
+    g_salt_n: np.ndarray  # (G,)
+    glo: np.ndarray  # (G, d) union of member bboxes
+    ghi: np.ndarray  # (G, d)
+    g_order: np.ndarray  # member fine-cell indexes grouped by g
+    g_start: np.ndarray  # offsets into g_order
+    coarse_level: int
+
+
 def _collect_stats(
-    df: DataFrame, cell_expr: str, dim_cols: list[str], max_cell_rows: int
+    df: DataFrame, cell_expr: str, dim_cols: list[str]
 ) -> PoseCellStats:
     aggs = [F.count("*").alias("cnt")]
     for c in dim_cols:
@@ -168,25 +200,54 @@ def _collect_stats(
     pdf = (
         df.groupBy(F.expr(cell_expr).alias("key")).agg(*aggs).toPandas()
     ).sort_values("key")
-    counts = pdf["cnt"].to_numpy(np.int64)
     return PoseCellStats(
         keys=pdf["key"].to_numpy(np.int64),
-        counts=counts,
+        counts=pdf["cnt"].to_numpy(np.int64),
         lo=pdf[[f"lo_{c}" for c in dim_cols]].to_numpy(np.float64),
         hi=pdf[[f"hi_{c}" for c in dim_cols]].to_numpy(np.float64),
-        salt_n=np.clip(-(-counts // max_cell_rows), 1, 1 << SALT_BITS).astype(
-            np.int64
-        ),
     )
 
 
-def _salted(df: DataFrame, spark: SparkSession, stats: PoseCellStats,
-            cell_expr: str, id_col: str) -> DataFrame:
+def _group_layout(
+    stats: PoseCellStats, level: int, dims: int, max_cell_rows: int,
+    shift: int = GROUP_SHIFT,
+) -> GroupLayout:
+    coarse = max(0, level - shift)
+    anc = _coarsen_nd(stats.keys, level, coarse, dims)
+    g_keys, g_inv = np.unique(anc, return_inverse=True)
+    G = len(g_keys)
+    g_counts = np.zeros(G, np.int64)
+    np.add.at(g_counts, g_inv, stats.counts)
+    glo = np.full((G, dims), np.inf)
+    ghi = np.full((G, dims), -np.inf)
+    for j in range(dims):
+        np.minimum.at(glo[:, j], g_inv, stats.lo[:, j])
+        np.maximum.at(ghi[:, j], g_inv, stats.hi[:, j])
+    g_order = np.argsort(g_inv, kind="stable")
+    g_start = np.searchsorted(g_inv[g_order], np.arange(G + 1))
+    return GroupLayout(
+        g_keys=g_keys,
+        g_counts=g_counts,
+        g_salt_n=np.clip(
+            -(-g_counts // max_cell_rows), 1, 1 << SALT_BITS
+        ).astype(np.int64),
+        glo=glo,
+        ghi=ghi,
+        g_order=g_order,
+        g_start=g_start,
+        coarse_level=coarse,
+    )
+
+
+def _salted(df: DataFrame, spark: SparkSession, layout: GroupLayout,
+            group_expr: str, id_col: str) -> DataFrame:
     salt_df = F.broadcast(
-        spark.createDataFrame(pd.DataFrame({"key": stats.keys, "salt_n": stats.salt_n}))
+        spark.createDataFrame(
+            pd.DataFrame({"key": layout.g_keys, "salt_n": layout.g_salt_n})
+        )
     )
     return (
-        df.withColumn("key", F.expr(cell_expr))
+        df.withColumn("key", F.expr(group_expr))
         .join(salt_df, "key")
         .withColumn(
             "part_key",
@@ -196,9 +257,9 @@ def _salted(df: DataFrame, spark: SparkSession, stats: PoseCellStats,
     )
 
 
-def _part_keys(spark: SparkSession, stats: PoseCellStats) -> DataFrame:
-    reps = stats.salt_n
-    key = np.repeat(stats.keys, reps)
+def _part_keys(spark: SparkSession, layout: GroupLayout) -> DataFrame:
+    reps = layout.g_salt_n
+    key = np.repeat(layout.g_keys, reps)
     off = np.concatenate([[0], np.cumsum(reps)[:-1]])
     salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
     return F.broadcast(
@@ -273,58 +334,39 @@ def _coarsen_nd(cell: np.ndarray, level: int, coarse: int, dims: int) -> np.ndar
     return out
 
 
-def _coarse_groups_nd(stats: PoseCellStats, level: int, dims: int, shift: int):
-    """Two-level pruning index (the d-D twin of engine._coarse_groups):
-    cells grouped by their ancestor `shift` levels up; group box = union of
-    member data bboxes.  A query tests ~G group boxes and expands only the
-    winners, collapsing the O(Q x C) sweep to O(Q x G) + epsilon."""
-    coarse = max(0, level - shift)
-    anc = _coarsen_nd(stats.keys, level, coarse, dims)
-    g_ids, g_inv = np.unique(anc, return_inverse=True)
-    G = len(g_ids)
-    glo = np.full((G, dims), np.inf)
-    ghi = np.full((G, dims), -np.inf)
-    for j in range(dims):
-        np.minimum.at(glo[:, j], g_inv, stats.lo[:, j])
-        np.maximum.at(ghi[:, j], g_inv, stats.hi[:, j])
-    g_order = np.argsort(g_inv, kind="stable")
-    g_start = np.searchsorted(g_inv[g_order], np.arange(G + 1))
-    return glo, ghi, g_order, g_start
-
-
-def _grouped_candidates(
+def _group_candidates(
     P: np.ndarray,
     bound: np.ndarray,
-    keys: np.ndarray,
-    lo: np.ndarray,
-    hi: np.ndarray,
-    groups,
-    home: np.ndarray | None = None,
+    stats_lo: np.ndarray,
+    stats_hi: np.ndarray,
+    layout_arrays,
+    home_g: np.ndarray | None = None,
     scale: float = 1.0,
 ):
-    """Admit (query, cell) pairs with scale * dist-to-bbox <= bound through
-    the coarse-group index; `home` cells are skipped (fully probed in
-    phase 1).  Returns (qi, ci) index arrays into P / keys."""
-    glo, ghi, g_order, g_start = groups
+    """Admit (query, GROUP) pairs: a group is admitted for a query when its
+    union box passes AND at least one member fine cell's tight bbox passes
+    scale * dist <= bound.  `home_g` groups are skipped (the whole home
+    group was probed in phase 1).  Returns (qi, g_key) arrays."""
+    g_keys, glo, ghi, g_order, g_start = layout_arrays
     dmin_g = scale * _bbox_min_dist(P, glo, ghi)
     adm_g = dmin_g <= bound[:, None]
+    if home_g is not None:
+        adm_g &= g_keys[None, :] != home_g[:, None]
     out_qi: list[np.ndarray] = []
-    out_ci: list[np.ndarray] = []
+    out_gk: list[np.ndarray] = []
     for g in np.nonzero(adm_g.any(axis=0))[0]:
         rows_g = np.nonzero(adm_g[:, g])[0]
         mem = g_order[g_start[g] : g_start[g + 1]]
-        dmin = scale * _bbox_min_dist(P[rows_g], lo[mem], hi[mem])
-        adm = dmin <= bound[rows_g][:, None]
-        if home is not None:
-            adm &= keys[mem][None, :] != home[rows_g][:, None]
-        qi_l, ci_l = np.nonzero(adm)
-        if len(qi_l) > 0:
-            out_qi.append(rows_g[qi_l])
-            out_ci.append(mem[ci_l])
+        dmin = scale * _bbox_min_dist(P[rows_g], stats_lo[mem], stats_hi[mem])
+        ok = (dmin <= bound[rows_g][:, None]).any(axis=1)
+        sel = rows_g[ok]
+        if len(sel) > 0:
+            out_qi.append(sel)
+            out_gk.append(np.full(len(sel), g_keys[g], np.int64))
     if not out_qi:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    return np.concatenate(out_qi), np.concatenate(out_ci)
+    return np.concatenate(out_qi), np.concatenate(out_gk)
 
 
 def _grid_home_edge(
@@ -366,9 +408,9 @@ def _angular_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def level_for_poses(n_rows: int, dims: int, target: int = 192, max_level: int = 6) -> int:
-    """Per-axis log2 resolution so occupied cells hold O(target) rows
-    (2^(dims*level) total cells; occupancy is data-dependent — salting
-    absorbs the rest)."""
+    """Per-axis log2 resolution of the FINE pruning grid so occupied cells
+    hold O(target) rows; the partition key sits GROUP_SHIFT levels coarser
+    (2^(dims*shift) * target rows per cogroup group)."""
     import math
 
     if n_rows <= target:
@@ -382,16 +424,16 @@ def level_for_poses(n_rows: int, dims: int, target: int = 192, max_level: int = 
 
 class So3Index:
     """Build-once / query-many SO(3) index (the reference's KDTree contract
-    applied to the rotation space): canonicalized + salted corpus persisted
-    PRE-PARTITIONED on part_key so repeat query batches shuffle only the
-    candidate side (same layout trick as engine.GeoIndex)."""
+    applied to the rotation space): canonicalized + group-salted corpus
+    persisted PRE-PARTITIONED on part_key so repeat query batches shuffle
+    only the candidate side (same layout trick as engine.GeoIndex)."""
 
     def __init__(
         self,
         spark: SparkSession,
         poses: DataFrame,
         level: int | None = None,
-        max_cell_rows: int = 4096,
+        max_cell_rows: int = 16384,
         n_poses_hint: int | None = None,
     ):
         self.spark = spark
@@ -403,14 +445,14 @@ class So3Index:
         sign = canon_sign_sql()
         canon = poses.select(
             "pose_id",
-            *QCOLS,  # cell_expr reads the raw coefficients
+            *QCOLS,  # cell/group exprs read the raw coefficients
             *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
         )
-        self.stats = _collect_stats(
-            canon, self.cell_expr, list(CCOLS), max_cell_rows
-        )
+        self.stats = _collect_stats(canon, self.cell_expr, list(CCOLS))
+        self.layout = _group_layout(self.stats, level, 4, max_cell_rows)
+        self.group_expr = so3_cell_sql(self.layout.coarse_level)
         self.corpus = (
-            _salted(canon, spark, self.stats, self.cell_expr, "pose_id")
+            _salted(canon, spark, self.layout, self.group_expr, "pose_id")
             .select("pose_id", *CCOLS, "part_key")
             .repartition(
                 int(spark.conf.get("spark.sql.shuffle.partitions")), "part_key"
@@ -418,13 +460,13 @@ class So3Index:
             .persist()
         )
         self.corpus.count()  # materialize
-        self.part_keys = _part_keys(spark, self.stats)
+        self.part_keys = _part_keys(spark, self.layout)
         self._caches: list[DataFrame] = []
 
     def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
         return _so3_knn_on_index(
-            self.spark, self.corpus, self.stats, self.part_keys, queries, k,
-            self.level, cache_registry=self._caches,
+            self.spark, self.corpus, self.stats, self.layout, self.part_keys,
+            queries, k, self.level, cache_registry=self._caches,
         )
 
     def unpersist(self) -> None:
@@ -438,7 +480,7 @@ def so3_knn_join(
     queries: DataFrame,
     k: int = 8,
     level: int | None = None,
-    max_cell_rows: int = 4096,
+    max_cell_rows: int = 16384,
     n_poses_hint: int | None = None,
 ) -> DataFrame:
     """Exact angular kNN join over quaternion columns (qw, qx, qy, qz):
@@ -446,9 +488,9 @@ def so3_knn_join(
     ``arccos(|q . p|)``, ties by pose_id.  Returns
     (query_id, pose_id, ang, rank).
 
-    Plan: canonicalize -> 4-D grid cell key (+hash salts for hot cells) ->
-    phase-1 HOME probe at both +q and -q (true kth bound) -> phase-2
-    coarse-group sweep of the remaining cells within the bound -> per-cell
+    Plan: canonicalize -> 4-D fine grid stats + coarse partition groups ->
+    phase-1 HOME-GROUP probe at both +q and -q (true kth bound) -> phase-2
+    group admission by member-cell bboxes within the bound -> per-group
     4-D k-d kernels inside cogroups -> min per (query, pose) to dedupe
     antipodal double-hits -> window top-k.
     Reference: SO3 build/query ``src/_so3space.hpp:594-658``, ordered
@@ -465,21 +507,25 @@ def so3_knn_join(
     sign = canon_sign_sql()
     canon = poses.select(
         "pose_id",
-        *QCOLS,  # cell_expr reads the raw coefficients
+        *QCOLS,
         *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
     )
-    stats = _collect_stats(canon, cell_expr, list(CCOLS), max_cell_rows)
+    stats = _collect_stats(canon, cell_expr, list(CCOLS))
+    layout = _group_layout(stats, level, 4, max_cell_rows)
     corpus = _salted(
-        canon, spark, stats, cell_expr, "pose_id"
+        canon, spark, layout, so3_cell_sql(layout.coarse_level), "pose_id"
     ).select("pose_id", *CCOLS, "part_key")
-    part_keys = _part_keys(spark, stats)
-    return _so3_knn_on_index(spark, corpus, stats, part_keys, queries, k, level)
+    part_keys = _part_keys(spark, layout)
+    return _so3_knn_on_index(
+        spark, corpus, stats, layout, part_keys, queries, k, level
+    )
 
 
 def _so3_knn_on_index(
     spark: SparkSession,
     corpus: DataFrame,
     stats: PoseCellStats,
+    layout: GroupLayout,
     part_keys: DataFrame,
     queries: DataFrame,
     k: int,
@@ -497,18 +543,19 @@ def _so3_knn_on_index(
         *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
     ).repartition(shuffle_n)
     bounds4 = [(-1.0, 2.0)] * 4
-    pos_key = grid_cell_sql(ccols, bounds4, level)
-    neg_key = grid_cell_sql([f"(- {c})" for c in ccols], bounds4, level)
+    coarse = layout.coarse_level
+    pos_gkey = grid_cell_sql(ccols, bounds4, coarse)
+    neg_gkey = grid_cell_sql([f"(- {c})" for c in ccols], bounds4, coarse)
 
-    # ---- phase 1: probe each probe-point's HOME cell (all salts) --------
+    # ---- phase 1: probe each probe-point's HOME group (all salts) -------
     # Two probe rows per query (+canon and -canon, the antipodal
     # reduction); the inner join against part_keys drops probes whose home
-    # cell is unoccupied — in particular nearly every minus probe, since
+    # group is unoccupied — in particular nearly every minus probe, since
     # canonicalized corpus points live in the cw >= 0 half.
     probes = (
-        qc.withColumn("sgn", F.lit(1.0)).withColumn("key", F.expr(pos_key))
+        qc.withColumn("sgn", F.lit(1.0)).withColumn("key", F.expr(pos_gkey))
     ).unionByName(
-        qc.withColumn("sgn", F.lit(-1.0)).withColumn("key", F.expr(neg_key))
+        qc.withColumn("sgn", F.lit(-1.0)).withColumn("key", F.expr(neg_gkey))
     )
     p1_cand = probes.join(part_keys, "key").select(
         "query_id", *ccols, "sgn", "part_key"
@@ -557,14 +604,14 @@ def _so3_knn_on_index(
     wq = Window.partitionBy("query_id")
     p1 = _register_cache(p1, cache_registry)
     # no pose is double-hit in phase 1 (each pose lives in exactly one
-    # cell; the two probes target DIFFERENT cells), so ranks need no dedupe
+    # group; the two probes target DIFFERENT groups), so ranks merge clean
     p1_topk = (
         p1.withColumn("rank", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(wq))
         .filter(F.col("rank") <= k)
     )
 
-    # ---- phase 2: bound rows, early exits, coarse-group sweep -----------
+    # ---- phase 2: bound rows, early exits, group admission --------------
     # bound = max EUCLIDEAN distance over the top-k-by-angle rows when the
     # home probes produced >= k rows: k distinct poses provably lie within
     # it, so it upper-bounds the true kth distance (euclid-side, where all
@@ -579,10 +626,10 @@ def _so3_knn_on_index(
             .alias("bound"),
         )
     )
-    # queries with BOTH home cells unoccupied never reach p1: recover them
-    # with broadcast anti joins against the (small) occupied-key set.
+    # queries with BOTH home groups unoccupied never reach p1: recover
+    # them with broadcast anti joins against the (small) occupied-key set.
     occ = part_keys.select("key").distinct()
-    qk = qc.withColumn("kp", F.expr(pos_key)).withColumn("kn", F.expr(neg_key))
+    qk = qc.withColumn("kp", F.expr(pos_gkey)).withColumn("kn", F.expr(neg_gkey))
     absent = (
         qk.join(F.broadcast(occ.withColumnRenamed("key", "kp")), "kp", "left_anti")
         .join(F.broadcast(occ.withColumnRenamed("key", "kn")), "kn", "left_anti")
@@ -590,20 +637,24 @@ def _so3_knn_on_index(
     )
     q_b = (
         bound_rows.unionByName(absent)
-        .withColumn("kp", F.expr(pos_key))
-        .withColumn("kn", F.expr(neg_key))
+        .withColumn("kp", F.expr(pos_gkey))
+        .withColumn("kn", F.expr(neg_gkey))
     )
 
-    groups = _coarse_groups_nd(stats, level, dims=4, shift=1)
     bc = spark.sparkContext.broadcast(
-        (stats.keys, stats.counts, stats.lo, stats.hi) + groups
+        (
+            stats.counts, stats.lo, stats.hi,
+            layout.g_keys, layout.glo, layout.ghi,
+            layout.g_order, layout.g_start,
+        )
     )
-    n_cells = 1 << level
+    n_coarse = 1 << coarse
 
     def gen(batches):
-        keys, counts, lo, hi, glo, ghi, gord, gstart = bc.value
-        C = len(keys)
-        G_ = len(glo)
+        counts, lo, hi, g_keys, glo, ghi, gord, gstart = bc.value
+        C = len(counts)
+        G_ = len(g_keys)
+        la = (g_keys, glo, ghi, gord, gstart)
         vmin = np.full(4, -1.0)
         vspan = np.full(4, 2.0)
         for pdf in batches:
@@ -614,7 +665,7 @@ def _so3_knn_on_index(
             kp = pdf["kp"].to_numpy(np.int64)
             kn = pdf["kn"].to_numpy(np.int64)
             qid = pdf["query_id"].to_numpy()
-            chunk = max(256, 8_000_000 // max(G_, 1))
+            chunk = max(256, 8_000_000 // max(C, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P4 = C4[sl]
@@ -631,11 +682,12 @@ def _so3_knn_on_index(
                         _count_bound(dps[0][0], dps[0][1], counts, k),
                         _count_bound(dps[1][0], dps[1][1], counts, k),
                     )
-                edge = _grid_home_edge(P4, vmin, vspan, n_cells)
+                # home-edge exit against the COARSE cell (the home group's
+                # grid box): wider cell => more queries exit than a
+                # fine-cell test would allow
+                edge = _grid_home_edge(P4, vmin, vspan, n_coarse)
                 for sgn, home in ((1.0, kp[sl]), (-1.0, kn[sl])):
                     if sgn > 0:
-                        # home-edge early exit: a bound strictly inside the
-                        # home cell can't be beaten by any other cell
                         alive = ~(b < edge)
                     else:
                         # canonical corpus points all have cw >= 0, so the
@@ -645,9 +697,8 @@ def _so3_knn_on_index(
                     rows = np.nonzero(alive)[0]
                     if len(rows) == 0:
                         continue
-                    qi, ci = _grouped_candidates(
-                        sgn * P4[rows], b[rows], keys, lo, hi,
-                        (glo, ghi, gord, gstart), home=home[rows],
+                    qi, gk = _group_candidates(
+                        sgn * P4[rows], b[rows], lo, hi, la, home_g=home[rows],
                     )
                     if len(qi) == 0:
                         continue
@@ -657,7 +708,7 @@ def _so3_knn_on_index(
                             "query_id": qid[sl][rows[qi]],
                             "pw": pr[:, 0], "px": pr[:, 1],
                             "py": pr[:, 2], "pz": pr[:, 3],
-                            "key": keys[ci],
+                            "key": gk,
                         }
                     )
 
@@ -726,7 +777,7 @@ def _so3_knn_on_index(
 
 
 class Se3Index:
-    """Build-once / query-many SE(3) index: salted corpus persisted
+    """Build-once / query-many SE(3) index: group-salted corpus persisted
     PRE-PARTITIONED on the translation-grid part_key (same layout as
     GeoIndex/So3Index) — repeat batches shuffle only the candidate side."""
 
@@ -735,7 +786,7 @@ class Se3Index:
         spark: SparkSession,
         poses: DataFrame,
         level: int | None = None,
-        max_cell_rows: int = 4096,
+        max_cell_rows: int = 16384,
         n_poses_hint: int | None = None,
     ):
         self.spark = spark
@@ -749,9 +800,11 @@ class Se3Index:
         ).first()
         self.bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
         self.cell_expr = trans_cell_sql(self.bounds, level)
-        self.stats = _collect_stats(poses, self.cell_expr, list(TCOLS), max_cell_rows)
+        self.stats = _collect_stats(poses, self.cell_expr, list(TCOLS))
+        self.layout = _group_layout(self.stats, level, 3, max_cell_rows)
+        self.group_expr = trans_cell_sql(self.bounds, self.layout.coarse_level)
         self.corpus = (
-            _salted(poses, spark, self.stats, self.cell_expr, "pose_id")
+            _salted(poses, spark, self.layout, self.group_expr, "pose_id")
             .select("pose_id", *QCOLS, *TCOLS, "part_key")
             .repartition(
                 int(spark.conf.get("spark.sql.shuffle.partitions")), "part_key"
@@ -759,7 +812,7 @@ class Se3Index:
             .persist()
         )
         self.corpus.count()  # materialize
-        self.part_keys = _part_keys(spark, self.stats)
+        self.part_keys = _part_keys(spark, self.layout)
         self._caches: list[DataFrame] = []
 
     def knn_join(
@@ -770,9 +823,9 @@ class Se3Index:
         trans_weight: float = 1.0,
     ) -> DataFrame:
         return _se3_knn_on_index(
-            self.spark, self.corpus, self.stats, self.part_keys, queries, k,
-            rot_weight, trans_weight, self.level, self.bounds, self.cell_expr,
-            cache_registry=self._caches,
+            self.spark, self.corpus, self.stats, self.layout, self.part_keys,
+            queries, k, rot_weight, trans_weight, self.level, self.bounds,
+            self.group_expr, cache_registry=self._caches,
         )
 
     def unpersist(self) -> None:
@@ -788,7 +841,7 @@ def se3_knn_join(
     rot_weight: float = 1.0,
     trans_weight: float = 1.0,
     level: int | None = None,
-    max_cell_rows: int = 4096,
+    max_cell_rows: int = 16384,
     n_poses_hint: int | None = None,
 ) -> DataFrame:
     """Exact kNN join in the weighted compound SE(3) metric
@@ -797,13 +850,12 @@ def se3_knn_join(
     ``src/_compoundspace.hpp:60-88``).  Returns
     (query_id, pose_id, dist, rank).
 
-    Partition key: 3-D grid over translation (data-derived bounds).  Cell
-    pruning is exact: lower bound = trans_weight * dist-to-bbox (rotation
-    contributes >= 0); the phase-1 home probe supplies TRUE compound kth
-    distances, so the ``rot_weight * pi/2`` diameter slack enters only the
-    fallback for queries whose home holds fewer than k poses.  Per-cell
-    kernel evaluates the FULL compound distance vectorized (cells hold
-    O(max_cell_rows) rows).
+    Partition key: 3-D grid over translation (data-derived bounds), one
+    level coarser than the pruning stats.  Cell pruning is exact: lower
+    bound = trans_weight * dist-to-bbox (rotation contributes >= 0); the
+    phase-1 home-group probe supplies TRUE compound kth distances, so the
+    ``rot_weight * pi/2`` diameter slack enters only the fallback for
+    queries whose home group holds fewer than k poses.
     One-shot convenience over :class:`Se3Index` (corpus unpersisted)."""
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
@@ -814,14 +866,16 @@ def se3_knn_join(
     ).first()
     bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
     cell_expr = trans_cell_sql(bounds, level)
-    stats = _collect_stats(poses, cell_expr, list(TCOLS), max_cell_rows)
-    corpus = _salted(poses, spark, stats, cell_expr, "pose_id").select(
+    stats = _collect_stats(poses, cell_expr, list(TCOLS))
+    layout = _group_layout(stats, level, 3, max_cell_rows)
+    group_expr = trans_cell_sql(bounds, layout.coarse_level)
+    corpus = _salted(poses, spark, layout, group_expr, "pose_id").select(
         "pose_id", *QCOLS, *TCOLS, "part_key"
     )
-    part_keys = _part_keys(spark, stats)
+    part_keys = _part_keys(spark, layout)
     return _se3_knn_on_index(
-        spark, corpus, stats, part_keys, queries, k, rot_weight, trans_weight,
-        level, bounds, cell_expr,
+        spark, corpus, stats, layout, part_keys, queries, k, rot_weight,
+        trans_weight, level, bounds, group_expr,
     )
 
 
@@ -885,6 +939,7 @@ def _se3_knn_on_index(
     spark: SparkSession,
     corpus: DataFrame,
     stats: PoseCellStats,
+    layout: GroupLayout,
     part_keys: DataFrame,
     queries: DataFrame,
     k: int,
@@ -892,7 +947,7 @@ def _se3_knn_on_index(
     trans_weight: float,
     level: int,
     bounds: list[tuple[float, float]],
-    cell_expr: str,
+    group_expr: str,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     if cache_registry is None:
@@ -904,8 +959,8 @@ def _se3_knn_on_index(
 
     q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
 
-    # ---- phase 1: home-cell probe (all salts) — TRUE compound bound -----
-    q_home = q.withColumn("key", F.expr(cell_expr))
+    # ---- phase 1: home-group probe (all salts) — TRUE compound bound ----
+    q_home = q.withColumn("key", F.expr(group_expr))
     p1_cand = q_home.join(part_keys, "key").select(
         "query_id", *QCOLS, *TCOLS, "part_key"
     )
@@ -942,29 +997,32 @@ def _se3_knn_on_index(
     )
     q_b = (
         bound_rows.unionByName(absent)
-        .withColumn("home_key", F.expr(cell_expr))
+        .withColumn("home_key", F.expr(group_expr))
     )
 
-    # ---- phase 2: coarse-group sweep within the compound bound ----------
-    groups = _coarse_groups_nd(stats, level, dims=3, shift=2)
+    # ---- phase 2: group admission within the compound bound -------------
     bc = spark.sparkContext.broadcast(
-        (stats.keys, stats.counts, stats.lo, stats.hi) + groups
+        (
+            stats.counts, stats.lo, stats.hi,
+            layout.g_keys, layout.glo, layout.ghi,
+            layout.g_order, layout.g_start,
+        )
     )
-    n_cells = 1 << level
+    n_coarse = 1 << layout.coarse_level
     vmin_a = np.array([lo for lo, _ in bounds])
     vspan_a = np.array([max(hi - lo, 1e-9) for lo, hi in bounds])
 
     def gen(batches):
-        keys, counts, lo, hi, glo, ghi, gord, gstart = bc.value
-        C = len(keys)
-        G_ = len(glo)
+        counts, lo, hi, g_keys, glo, ghi, gord, gstart = bc.value
+        C = len(counts)
+        la = (g_keys, glo, ghi, gord, gstart)
         for pdf in batches:
             if len(pdf) == 0 or C == 0:
                 continue
             T = pdf[list(TCOLS)].to_numpy(np.float64)
             given = pdf["bound"].to_numpy(np.float64)
             home = pdf["home_key"].to_numpy(np.int64)
-            chunk = max(256, 8_000_000 // max(G_, 1))
+            chunk = max(256, 8_000_000 // max(C, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P3 = T[sl]
@@ -986,23 +1044,23 @@ def _se3_knn_on_index(
                         np.take_along_axis(ub, order, axis=1)[rr, need],
                         np.inf,
                     )
-                # home-edge early exit in COMPOUND units: every pose of
-                # every other cell is >= tw * edge away
-                edge = tw * _grid_home_edge(P3, vmin_a, vspan_a, n_cells)
+                # home-edge early exit in COMPOUND units against the
+                # COARSE (home-group) cell boundary
+                edge = tw * _grid_home_edge(P3, vmin_a, vspan_a, n_coarse)
                 alive = ~(b < edge)
                 rows = np.nonzero(alive)[0]
                 if len(rows) == 0:
                     continue
-                qi, ci = _grouped_candidates(
-                    P3[rows], b[rows], keys, lo, hi,
-                    (glo, ghi, gord, gstart), home=home[sl][rows], scale=tw,
+                qi, gk = _group_candidates(
+                    P3[rows], b[rows], lo, hi, la,
+                    home_g=home[sl][rows], scale=tw,
                 )
                 if len(qi) == 0:
                     continue
                 out = pdf.iloc[np.asarray(rows[qi]) + c0][
                     ["query_id", *QCOLS, *TCOLS]
                 ].copy()
-                out["key"] = keys[ci]
+                out["key"] = gk
                 yield out
 
     p2_cand = q_b.mapInPandas(
@@ -1026,7 +1084,7 @@ def _se3_knn_on_index(
         )
     )
 
-    # no dedupe needed: a pose lives in exactly one cell — home poses only
+    # no dedupe needed: a pose lives in exactly one group — home poses only
     # in phase 1, others only in phase 2 (single probe point)
     affected = F.broadcast(p2_cand.select("query_id").distinct())
     untouched = (

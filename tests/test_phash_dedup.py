@@ -57,3 +57,29 @@ def test_exact_duplicates_found(spark):
     got = datapipe.phash_near_dup(_img_df(spark, ph), max_hamming=0).toPandas()
     assert len(got) == 2
     assert (got["hamming"] == 0).all()
+
+
+def test_phash_near_dup_v2_scheme_identical(spark):
+    """The v=2 multi-index (3 blocks x <=2-bit variants, the 10^9 second
+    stage) must produce EXACTLY the v=1 scheme's pairs."""
+    rng = np.random.default_rng(23)
+    base = rng.integers(-(2**62), 2**62, size=200, dtype=np.int64)
+    flips = []
+    for h in base[:60]:  # plant near-dups at assorted distances 1..10
+        nbits = rng.integers(1, 11)
+        mask = np.int64(0)
+        for b_ in rng.choice(64, size=nbits, replace=False):
+            mask |= np.int64(1) << np.int64(int(b_))
+        flips.append(h ^ mask)
+    phashes = np.concatenate([base, np.array(flips, dtype=np.int64)])
+    img = _img_df(spark, phashes)
+    a = (
+        datapipe.phash_near_dup(img, max_hamming=8, variant_bits=1)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    b = (
+        datapipe.phash_near_dup(img, max_hamming=8, variant_bits=2)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0

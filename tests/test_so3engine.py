@@ -160,3 +160,62 @@ def test_se3_index_build_once_query_many(spark, pose_data):
         assert a.equals(b)
     finally:
         idx.unpersist()
+
+
+def test_so3_knn_k_exceeds_home_cell(spark, pose_data):
+    """k larger than any home cell's population forces the statistics
+    fallback bound in phase 2 — results must still be exact."""
+    poses, queries, ppdf, qpdf = pose_data
+    small_q = queries.limit(40)
+    k = 64  # >> level-1 cell occupancy at 2k poses
+    res = (
+        so3engine.so3_knn_join(spark, poses, small_q, k=k, n_poses_hint=len(ppdf))
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    qpdf40 = small_q.toPandas()
+    P = ppdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    Q = qpdf40[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    D = _angular_matrix(Q, P)
+    want = _brute_topk(
+        qpdf40["query_id"].to_numpy(), ppdf["pose_id"].to_numpy(), D, k
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert np.allclose(res["ang"].to_numpy(), want["d"].to_numpy(), atol=1e-12)
+
+
+def test_se3_queries_outside_translation_bounds(spark, pose_data):
+    """Query translations far outside the data-derived grid bounds clamp
+    into edge cells; the home-edge exit must never fire incorrectly and
+    results stay exact."""
+    poses, _, ppdf, _ = pose_data
+    rng = np.random.default_rng(17)
+    nq = 24
+    q = rng.normal(size=(nq, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = rng.uniform(-500, 500, size=(nq, 3))  # way outside corpus bounds
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"far{i:04d}" for i in range(nq)],
+            "qw": q[:, 0], "qx": q[:, 1], "qy": q[:, 2], "qz": q[:, 3],
+            "tx": t[:, 0], "ty": t[:, 1], "tz": t[:, 2],
+        }
+    )
+    queries = spark.createDataFrame(qpdf)
+    rw, tw, k = 2.0, 0.5, 5
+    res = (
+        so3engine.se3_knn_join(
+            spark, poses, queries, k=k, rot_weight=rw, trans_weight=tw,
+            n_poses_hint=len(ppdf),
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    P = ppdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    PT = ppdf[["tx", "ty", "tz"]].to_numpy(np.float64)
+    D = rw * _angular_matrix(q, P) + tw * np.sqrt(
+        ((t[:, None, :] - PT[None, :, :]) ** 2).sum(axis=2)
+    )
+    want = _brute_topk(
+        qpdf["query_id"].to_numpy(), ppdf["pose_id"].to_numpy(), D, k
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert np.allclose(res["dist"].to_numpy(), want["d"].to_numpy(), atol=1e-9)
