@@ -69,6 +69,7 @@ def main() -> None:
     headline = [
         "knn_join_k8",
         "so3_knn_join_k8",
+        "se3_knn_join_k4",
         "radius_join_r2",
         "pip_join",
         "raster_vector_join",

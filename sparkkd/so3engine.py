@@ -469,6 +469,12 @@ class So3Index:
             queries, k, self.level, cache_registry=self._caches,
         )
 
+    def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
+        return _so3_radius_on_index(
+            self.spark, self.corpus, self.stats, self.layout, self.part_keys,
+            queries, r,
+        )
+
     def unpersist(self) -> None:
         _release_registry(self._caches)
         self.corpus.unpersist()
@@ -771,6 +777,151 @@ def _so3_knn_on_index(
         .select("query_id", "pose_id", "ang", F.col("rank").cast("int"))
     )
     return untouched.unionByName(reranked)
+
+
+def so3_radius_join(
+    spark: SparkSession,
+    poses: DataFrame,
+    queries: DataFrame,
+    r: float,
+    level: int | None = None,
+    max_cell_rows: int = 16384,
+    n_poses_hint: int | None = None,
+) -> DataFrame:
+    """All (query, pose) pairs with angular distance
+    ``arccos(|q.p|) <= r`` — reference Q3 (kNN entry with finite
+    maxRadius, ``src/_kdtree_median.hpp:131-137``) on the rotation space.
+    Returns (query_id, pose_id, ang).
+
+    The fixed radius r maps to a EUCLIDEAN chord bound
+    ``sqrt(2 - 2 cos r)`` on the canonicalized R^4 coordinates (the
+    angular metric is strictly increasing in the antipodal-min chord), so
+    admission and the per-group kernel run entirely in chord space — no
+    phase-1 probe needed; both antipodal probes admit groups whose member
+    fine-cell bboxes come within the (slightly padded) chord, and the
+    EXACT libm angle filters the final pairs, so the float padding can
+    only add work, never wrong rows.  One-shot convenience over
+    :class:`So3Index.radius_join`."""
+    if level is None:
+        n = n_poses_hint if n_poses_hint is not None else poses.count()
+        level = level_for_poses(n, dims=4)
+    cell_expr = so3_cell_sql(level)
+    sign = canon_sign_sql()
+    canon = poses.select(
+        "pose_id",
+        *QCOLS,
+        *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
+    )
+    stats = _collect_stats(canon, cell_expr, list(CCOLS))
+    layout = _group_layout(stats, level, 4, max_cell_rows)
+    corpus = _salted(
+        canon, spark, layout, so3_cell_sql(layout.coarse_level), "pose_id"
+    ).select("pose_id", *CCOLS, "part_key")
+    part_keys = _part_keys(spark, layout)
+    return _so3_radius_on_index(
+        spark, corpus, stats, layout, part_keys, queries, r
+    )
+
+
+def _so3_radius_on_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    stats: PoseCellStats,
+    layout: GroupLayout,
+    part_keys: DataFrame,
+    queries: DataFrame,
+    r: float,
+) -> DataFrame:
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sign = canon_sign_sql()
+    ccols = list(CCOLS)
+    r = float(r)
+    # padded chord: superset admission; the exact libm angle decides below
+    chord = float(np.sqrt(max(2.0 - 2.0 * np.cos(r), 0.0)) * (1.0 + 1e-12) + 1e-15)
+    qc = queries.select(
+        "query_id",
+        *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
+    ).repartition(shuffle_n)
+
+    bc = spark.sparkContext.broadcast(
+        (
+            stats.lo, stats.hi,
+            layout.g_keys, layout.glo, layout.ghi,
+            layout.g_order, layout.g_start,
+        )
+    )
+
+    def gen(batches):
+        lo, hi, g_keys, glo, ghi, gord, gstart = bc.value
+        la = (g_keys, glo, ghi, gord, gstart)
+        for pdf in batches:
+            if len(pdf) == 0 or len(lo) == 0:
+                continue
+            C4 = pdf[ccols].to_numpy(np.float64)
+            qid = pdf["query_id"].to_numpy()
+            chunk = max(256, 8_000_000 // max(len(lo), 1))
+            for c0 in range(0, len(pdf), chunk):
+                sl = slice(c0, min(c0 + chunk, len(pdf)))
+                P4 = C4[sl]
+                b = np.full(len(P4), chord)
+                for sgn in (1.0, -1.0):
+                    if sgn < 0:
+                        # canonical points have cw >= 0: the minus probe is
+                        # at least cw_q away from every pose
+                        rows = np.nonzero(~(b < P4[:, 0]))[0]
+                    else:
+                        rows = np.arange(len(P4))
+                    if len(rows) == 0:
+                        continue
+                    qi, gk = _group_candidates(
+                        sgn * P4[rows], b[rows], lo, hi, la
+                    )
+                    if len(qi) == 0:
+                        continue
+                    pr = sgn * P4[rows[qi]]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid[sl][rows[qi]],
+                            "pw": pr[:, 0], "px": pr[:, 1],
+                            "py": pr[:, 2], "pz": pr[:, 3],
+                            "key": gk,
+                        }
+                    )
+
+    cand = qc.mapInPandas(
+        gen,
+        schema="query_id string, pw double, px double, py double, pz double,"
+        " key long",
+    ).join(part_keys, "key").select("query_id", "pw", "px", "py", "pz", "part_key")
+    probe_keys = F.broadcast(cand.select("part_key").distinct())
+    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+
+    def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "pose_id": [], "ang": []})
+        P = right[ccols].to_numpy(np.float64)
+        ids = right["pose_id"].to_numpy()
+        tree = kernel.build(P)
+        QP = left[["pw", "px", "py", "pz"]].to_numpy(np.float64)
+        qi, idx, _ = kernel.radius(tree, QP, chord)
+        ang = _angular_np(QP[qi], P[idx])
+        keep = ang <= r  # EXACT libm angle decides; chord pad only added work
+        return pd.DataFrame(
+            {
+                "query_id": left["query_id"].to_numpy()[qi][keep],
+                "pose_id": ids[idx][keep],
+                "ang": ang[keep],
+            }
+        )
+
+    hits = (
+        cand.groupby("part_key")
+        .cogroup(corp_probe.groupby("part_key"))
+        .applyInPandas(radius_group, schema="query_id string, pose_id string, ang double")
+    )
+    # |dot(+-q, p)| is bit-identical, so both probes report the SAME ang
+    # for a double-hit pose: a plain distinct dedupes exactly
+    return hits.distinct()
 
 
 # ------------------------------------------------------------ SE(3) join

@@ -219,3 +219,26 @@ def test_se3_queries_outside_translation_bounds(spark, pose_data):
     ).sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
     assert np.allclose(res["dist"].to_numpy(), want["d"].to_numpy(), atol=1e-9)
+
+
+def test_so3_radius_join_vs_brute_force(spark, pose_data):
+    poses, queries, ppdf, qpdf = pose_data
+    r = 0.25
+    res = (
+        so3engine.so3_radius_join(spark, poses, queries, r=r, n_poses_hint=len(ppdf))
+        .toPandas().sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+    )
+    P = ppdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    Q = qpdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    D = _angular_matrix(Q, P)
+    qi, pi = np.nonzero(D <= r)
+    want = pd.DataFrame(
+        {
+            "query_id": qpdf["query_id"].to_numpy()[qi],
+            "pose_id": ppdf["pose_id"].to_numpy()[pi],
+            "d": D[qi, pi],
+        }
+    ).sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+    assert len(res) == len(want) > 0
+    assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert np.allclose(res["ang"].to_numpy(), want["d"].to_numpy(), atol=1e-12)
