@@ -333,3 +333,141 @@ def brute_force_knn(
         out_idx.append(srt.astype(np.int64))
         out_dist.append(dist[i][srt])
     return np.concatenate(out_qi), np.concatenate(out_idx), np.concatenate(out_dist)
+
+
+def knn_compound(
+    tree: KDTree,
+    q_trans: np.ndarray,
+    q_rot: np.ndarray,
+    p_rot: np.ndarray,
+    k: int,
+    rot_weight: float,
+    trans_weight: float,
+    tie_key: np.ndarray | None = None,
+    bound_pool: int = 32,
+    chunk: int = 4096,
+):
+    """Exact per-query top-k under the weighted compound SE(3) metric
+
+        d = rot_weight * arccos(min(1, |q_rot . p_rot|))
+            + trans_weight * ||q_trans - p_trans||
+
+    where the TREE indexes the translations (the reference's compound
+    space over a sub-space index, ``src/_compoundspace.hpp:60-88``).
+    Branch-and-bound uses the translation lower bound
+    ``trans_weight * distToLeaf`` (rotation contributes >= 0); the initial
+    bound comes from a phase-A scan of the nearest leaves covering
+    ``max(k, bound_pool)`` translations, whose TRUE compound distances
+    upper-bound the kth (any k distinct poses do).  This replaces the
+    dense Q x P group matrix the round-2 kernel computed — per-query work
+    is leaf-log plus admitted-leaf scans, so big cogroup groups stay
+    cheap.  With trans_weight == 0 the bound is vacuous and the scan
+    degrades to the dense sweep (correct, documented).
+
+    SIMD arccos is used for SELECTION only; every candidate within a
+    relative 1e-12 margin of the kth selection distance is returned so the
+    caller can rescale (ldot, et) with libm acos and let the final window
+    cut oracle-exactly.  Returns (qi, idx_original, ldot, et)."""
+    rw, tw = float(rot_weight), float(trans_weight)
+    qt = np.ascontiguousarray(q_trans, dtype=np.float64)
+    qr = np.ascontiguousarray(q_rot, dtype=np.float64)
+    if tree.n == 0 or len(qt) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
+    if tie_key is None:
+        tie_key = np.arange(tree.n, dtype=np.int64)
+    tie_sorted = np.asarray(tie_key, dtype=np.int64)[tree.perm]
+    pr_sorted = np.ascontiguousarray(p_rot, dtype=np.float64)[tree.perm]
+    leaf_counts = np.diff(tree.leaf_start)
+    kpool = max(k, bound_pool)
+
+    def pair_metrics(qrc, q_idx, pt_idx, et):
+        a = qrc[q_idx]  # q_idx is CHUNK-relative; qrc is the chunk's slice
+        b = pr_sorted[pt_idx]
+        dot = a[:, 0] * b[:, 0]
+        dot = dot + a[:, 1] * b[:, 1]
+        dot = dot + a[:, 2] * b[:, 2]
+        dot = dot + a[:, 3] * b[:, 3]
+        ldot = np.minimum(1.0, np.abs(dot))
+        return ldot, rw * np.arccos(ldot) + tw * et
+
+    out_qi: list[np.ndarray] = []
+    out_idx: list[np.ndarray] = []
+    out_ldot: list[np.ndarray] = []
+    out_et: list[np.ndarray] = []
+    chunk = max(256, min(chunk, 2_000_000 // max(tree.n_leaves, 1)))
+    for c0 in range(0, len(qt), chunk):
+        qc = qt[c0 : c0 + chunk]
+        qrc = qr[c0 : c0 + chunk]
+        Q = len(qc)
+        dmin = _leaf_min_dist(tree, qc)  # translation space, (Q,L)
+
+        # phase A: scan the nearest leaves covering >= kpool translations;
+        # their true compound values give a per-query kth bound
+        order = np.argsort(dmin, axis=1, kind="stable")
+        cum = np.cumsum(leaf_counts[order], axis=1)
+        need = np.argmax(cum >= kpool, axis=1)
+        enough = cum[:, -1] >= kpool
+        need = np.where(enough, need, tree.n_leaves - 1)
+        prefix = np.arange(tree.n_leaves)[None, :] <= need[:, None]
+        scan1 = np.zeros((Q, tree.n_leaves), dtype=bool)
+        np.put_along_axis(scan1, order, prefix, axis=1)
+        q1, i1, et1 = _scan_pairs(tree, qc, scan1)
+        if len(q1) == 0:
+            continue
+        l1, d1 = pair_metrics(qrc, q1, i1, et1)
+        srt1 = np.lexsort((d1, q1))
+        q1, i1, et1, l1, d1 = q1[srt1], i1[srt1], et1[srt1], l1[srt1], d1[srt1]
+        first = np.searchsorted(q1, np.arange(Q))
+        countq = np.diff(np.append(first, len(q1)))
+        kth_pos = first + np.minimum(k, np.maximum(countq, 1)) - 1
+        bound = np.where(countq >= k, d1[np.minimum(kth_pos, len(d1) - 1)], np.inf)
+        # pad: the SIMD-arccos bound may sit 1 ulp below the true kth —
+        # widen so no borderline leaf/pose is pruned before libm rescoring
+        bound = bound * (1.0 + 1e-12) + 1e-15
+
+        # phase B: remaining leaves within the compound lower bound
+        scan2 = (tw * dmin <= bound[:, None]) & ~scan1
+        q2, i2, et2 = _scan_pairs(tree, qc, scan2)
+        if len(q2) > 0:
+            l2, d2 = pair_metrics(qrc, q2, i2, et2)
+        else:
+            l2 = d2 = np.empty(0, dtype=np.float64)
+
+        cqi = np.concatenate([q1, q2])
+        cidx = np.concatenate([i1, i2])
+        cldot = np.concatenate([l1, l2])
+        cet = np.concatenate([et1, et2])
+        cd = np.concatenate([d1, d2])
+        adm = cd <= bound[cqi]
+        cqi, cidx, cldot, cet, cd = (
+            cqi[adm], cidx[adm], cldot[adm], cet[adm], cd[adm]
+        )
+        if len(cqi) == 0:
+            continue
+
+        # exact top-k cut with the ulp-tie margin (callers re-rank on the
+        # libm-exact values downstream)
+        srt = np.lexsort((tie_sorted[cidx], cd, cqi))
+        cqi, cidx, cldot, cet, cd = (
+            cqi[srt], cidx[srt], cldot[srt], cet[srt], cd[srt]
+        )
+        first = np.searchsorted(cqi, np.arange(Q))
+        countq = np.diff(np.append(first, len(cqi)))
+        kth_pos = first + np.minimum(k, np.maximum(countq, 1)) - 1
+        dk = cd[np.minimum(kth_pos, len(cd) - 1)]
+        keep = cd <= (dk[cqi] * (1.0 + 1e-12) + 1e-15)
+        out_qi.append(cqi[keep] + c0)
+        out_idx.append(tree.perm[cidx[keep]])
+        out_ldot.append(cldot[keep])
+        out_et.append(cet[keep])
+
+    if not out_qi:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(out_qi),
+        np.concatenate(out_idx),
+        np.concatenate(out_ldot),
+        np.concatenate(out_et),
+    )

@@ -1031,10 +1031,13 @@ def se3_knn_join(
 
 
 def _make_se3_group(k: int, rw: float, tw: float, carry: bool):
-    """Cogroup kernel: FULL compound distance, vectorized, with the
-    selection cut taken on NumPy's SIMD arccos but padded by a relative
-    1e-12 margin before exact libm rescoring — candidates tying the kth
-    selection distance within the SIMD/libm 1-ulp gap are all kept, so the
+    """Cogroup kernel: branch-and-bound compound search via
+    kernel.knn_compound — a k-d tree over the group's TRANSLATIONS prunes
+    with the trans_weight * distToLeaf lower bound, so per-query work is
+    leaf-log + admitted scans instead of the dense Q x P matrix the
+    round-2 kernel computed (which made big two-level groups quadratic).
+    Selection runs on SIMD arccos padded by a relative 1e-12 margin;
+    final values are libm-rescored from the returned (ldot, et), so the
     downstream window (ordered by the EXACT dist) decides oracle-exactly.
     carry=True passes the query pose through (phase 1 feeds bound rows)."""
 
@@ -1049,39 +1052,24 @@ def _make_se3_group(k: int, rw: float, tw: float, carry: bool):
         PR = right[list(QCOLS)].to_numpy(np.float64)
         PT = right[list(TCOLS)].to_numpy(np.float64)
         ids = right["pose_id"].to_numpy()
-        out = []
-        for c0 in range(0, len(left), 1024):  # memory-bounding chunk loop
-            sl = slice(c0, min(c0 + 1024, len(left)))
-            # oracle-exact expression, left-associated adds throughout
-            dot = QR[sl, 0][:, None] * PR[:, 0][None, :]
-            dot = dot + QR[sl, 1][:, None] * PR[:, 1][None, :]
-            dot = dot + QR[sl, 2][:, None] * PR[:, 2][None, :]
-            dot = dot + QR[sl, 3][:, None] * PR[:, 3][None, :]
-            ldot = np.minimum(1.0, np.abs(dot))
-            ang = np.arccos(ldot)  # SIMD arccos for SELECTION only
-            dx = PT[:, 0][None, :] - QT[sl, 0][:, None]
-            dy = PT[:, 1][None, :] - QT[sl, 1][:, None]
-            dz = PT[:, 2][None, :] - QT[sl, 2][:, None]
-            et = np.sqrt(dx * dx + dy * dy + dz * dz)
-            d = rw * ang + tw * et
-            kk = min(k, d.shape[1])
-            dk = np.partition(d, kk - 1, axis=1)[:, kk - 1]
-            thr = dk * (1.0 + 1e-12) + 1e-15  # ulp-tie safety margin
-            rows, cols_i = np.nonzero(d <= thr[:, None])
-            chunk_out = {
-                "query_id": left["query_id"].to_numpy()[sl][rows],
-                "pose_id": ids[cols_i],
-                # FINAL values via libm acos — oracle-bit-exact
-                "dist": rw * acos_exact(ldot[rows, cols_i])
-                + tw * et[rows, cols_i],
-            }
-            if carry:
-                for j, c in enumerate(QCOLS):
-                    chunk_out[c] = QR[sl][rows, j]
-                for j, c in enumerate(TCOLS):
-                    chunk_out[c] = QT[sl][rows, j]
-            out.append(pd.DataFrame(chunk_out))
-        return pd.concat(out, ignore_index=True)
+        tie = np.empty(len(ids), dtype=np.int64)
+        tie[np.argsort(ids)] = np.arange(len(ids))
+        tree = kernel.build(PT)
+        qi, idx, ldot, et = kernel.knn_compound(
+            tree, QT, QR, PR, k, rw, tw, tie_key=tie
+        )
+        out = {
+            "query_id": left["query_id"].to_numpy()[qi],
+            "pose_id": ids[idx],
+            # FINAL values via libm acos — oracle-bit-exact
+            "dist": rw * acos_exact(ldot) + tw * et,
+        }
+        if carry:
+            for j, c in enumerate(QCOLS):
+                out[c] = QR[qi, j]
+            for j, c in enumerate(TCOLS):
+                out[c] = QT[qi, j]
+        return pd.DataFrame(out)
 
     return se3_group
 

@@ -127,3 +127,32 @@ def test_build_structure_median_split():
         s, e = tree.leaf_start[i], tree.leaf_start[i + 1]
         assert np.array_equal(tree.leaf_lo[i], tree.points[s:e].min(axis=0))
         assert np.array_equal(tree.leaf_hi[i], tree.points[s:e].max(axis=0))
+
+
+def test_knn_compound_vs_brute_force():
+    """Bounded compound SE(3) search vs a dense brute-force oracle, over
+    both balanced and rotation-dominant weightings."""
+    import math
+
+    rng = np.random.default_rng(11)
+    n, nq, k = 3000, 200, 5
+    PT = rng.uniform(-50, 50, size=(n, 3))
+    PR = rng.normal(size=(n, 4)); PR /= np.linalg.norm(PR, axis=1, keepdims=True)
+    QT = rng.uniform(-50, 50, size=(nq, 3))
+    QR = rng.normal(size=(nq, 4)); QR /= np.linalg.norm(QR, axis=1, keepdims=True)
+    tree = kernel.build(PT)
+    for rw, tw in ((1.0, 1.0), (2.0, 0.5), (5.0, 0.1)):
+        qi, idx, ldot, et = kernel.knn_compound(tree, QT, QR, PR, k, rw, tw)
+        got_d = rw * np.arccos(ldot) + tw * et
+        # brute force
+        dot = np.abs(QR @ PR.T)
+        ang = np.arccos(np.minimum(1.0, dot))
+        etb = np.sqrt(((QT[:, None, :] - PT[None, :, :]) ** 2).sum(axis=2))
+        D = rw * ang + tw * etb
+        for q in range(nq):
+            mine = sorted(
+                [(got_d[j], int(idx[j])) for j in range(len(qi)) if qi[j] == q]
+            )[:k]
+            want = sorted((D[q, p], p) for p in range(n))[:k]
+            assert [p for _, p in mine] == [p for _, p in want], (rw, tw, q)
+            assert np.allclose([d for d, _ in mine], [d for d, _ in want], atol=1e-9)
