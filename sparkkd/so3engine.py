@@ -5,61 +5,62 @@ rigid-motion spaces for motion planning (``/root/reference/README.md:6``;
 active test matrix ``test/kdtree_test.cpp:385-417`` runs StaticBuildAndQuery
 and dynamic Add/KNN for SO3, SO3Alt, SO3RL, SE3 and weighted SE3).  This
 module is the distributed twin, following the exact plan shape of the geo
-engine (``sparkkd.engine``), including its TWO-PHASE search:
+engine (``sparkkd.engine``), including its TWO-PHASE search and its
+SKEW-ADAPTIVE layout:
 
-* **phase 1 (home probe)**: every query probes its own partition GROUP
-  first — the distributed analogue of the reference's first descent —
-  yielding a TRUE kth-distance bound far tighter than any statistics-only
-  bound;
-* **phase 2**: remaining groups are admitted against that bound through
-  fine-grained cell statistics; queries whose bound is strictly inside
+* **phase 1 (home probe)**: every query probes its own partition first —
+  the distributed analogue of the reference's first descent — yielding a
+  TRUE kth-distance bound far tighter than any statistics-only bound;
+* **phase 2**: remaining partitions are admitted against that bound
+  through leaf-cell statistics; queries whose bound is strictly inside
   their home grid cell (home-edge early exit) skip phase 2 entirely.
 
-TWO-LEVEL LAYOUT (round-3 profiling insight): pruning statistics live at a
-FINE grid level (tight per-cell data bboxes — the pruning power), while
-the shuffle / cogroup partition key is the cell's ancestor `GROUP_SHIFT`
-levels up (2^(d*shift)-fold fewer Python cogroup groups).  At 1M poses the
-fine grid has ~8k occupied cells: cogrouping per fine cell paid ~8k
-Arrow/worker round-trips PER PHASE, which dominated wall-clock; group-level
-cogroups cut that by 16x (4-D) while per-group kernels stay small (a few
-thousand rows).  Bonus exactness wins: phase 1 probes the WHOLE home group
-(more candidates => tighter bound, and the entire group is excluded from
-phase 2), and the home-edge exit tests the wider coarse cell => more
-queries exit.
+ADAPTIVE LAYOUT (round-3, after sf2 profiling): pruning statistics live at
+LEAF grid cells — a base fine level L everywhere, except inside HOT base
+cells (count > max_cell_rows), which are spatially REFINED three levels
+deeper (the pose-space twin of geo's hot-cell refinement: the fixture's
+rotation cluster is tighter than the base grid, and hash-salting it made
+every clustered query fan out to every salt — at 4M poses that was the
+whole runtime).  Leaves are then BIN-PACKED into shuffle partitions of at
+most max_cell_rows points, grouped under a coarse ancestor so partitions
+stay spatially coherent; only a leaf that is still hot after refinement (a
+true point mass) falls back to hash salts.  Cogroup/shuffle granularity is
+the partition (few, large, coherent => few Arrow/Python round trips —
+profiled as the dominant cost of per-cell cogroups), while admission tests
+tight leaf bboxes inside admitted partitions.
 
 SO(3) — antipodal R^4 reduction (reference SO3RL space,
 ``src/_so3rlspace.hpp:36-54``): for unit quaternions the angular metric
 ``arccos(|a.b|)`` is strictly increasing in ``min(|a-b|, |a+b|)``, so exact
 angular kNN over canonicalized points (q ~ -q collapsed to one sign) equals
 Euclidean R^4 kNN probed at BOTH +q and -q with the per-point best kept.
-The coarse partition is a 4-D grid over the canonicalized coefficients —
-the distributed analogue of the reference's 4-volume radix partition
+The partition grid is over the canonicalized coefficients — the
+distributed analogue of the reference's 4-volume radix partition
 (``src/_so3space.hpp:594-658``).  Phase-2 extra for the minus probe:
 canonicalized corpus points all have ``cw >= 0``, so the minus probe (whose
 w coordinate is ``-cw_q <= 0``) is at least ``cw_q`` from EVERY corpus
 point — when the phase-1 bound is below that, the whole minus sweep dies on
-one scalar compare (and the minus probe's home group is unoccupied almost
-surely, so it contributes no phase-1 kernel work either).
+one scalar compare (and the minus probe's home partition is unoccupied
+almost surely, so it contributes no phase-1 kernel work either).
 
 SE(3) — compound space (``src/_spaces.hpp:369-421``): distance is
 ``rot_weight * angular + trans_weight * L2(translation)``.  The partition
-key is a 3-D grid over translation; a cell's compound lower bound is
+key is a grid over translation; a cell's compound lower bound is
 ``trans_weight * dist-to-bbox`` (rotation contributes >= 0).  The phase-1
 home probe returns true compound kth distances, so the slack
 ``rot_weight * pi/2`` term that inflated the round-2 statistics-only bound
-never enters the hot path (it remains only in the fallback for queries
-whose home group holds fewer than k poses).
+never enters the hot path.  Per-partition kernels run
+``kernel.knn_compound`` — branch-and-bound over a translation k-d tree —
+so big partitions stay leaf-log, never dense.
 
 IEEE parity with the DuckDB oracle: the final ranking distance is computed
 with term-for-term the same expression the oracle uses —
 ``arccos(min(1, |qw*pw + qx*px + qy*py + qz*pz|))`` with left-associated
 additions (NumPy elementwise adds in the same order) and libm acos — so
 hash-exact comparison holds.  Canonicalization sign flips are exact in
-IEEE, so |dot(±a, ±b)| is bit-identical to |dot(a, b)|.  Inside the SE(3)
-kernel, selection uses NumPy's SIMD arccos (1 ulp off libm on ~1/3 of
-inputs) but keeps every candidate within a relative 1e-12 margin of the
-kth selection distance before exact libm rescoring, so a 1-ulp selection
-tie can never cut a candidate the oracle would rank inside k.
+IEEE, so |dot(±a, ±b)| is bit-identical to |dot(a, b)|.  SIMD selection
+cuts keep a relative 1e-12 margin before libm rescoring, so a 1-ulp
+selection tie can never cut a candidate the oracle would rank inside k.
 """
 
 from __future__ import annotations
@@ -75,7 +76,11 @@ from . import kernel
 from .engine import _register_cache, _release_registry
 
 SALT_BITS = 12
-GROUP_SHIFT = 1  # partition key = fine cell's ancestor this many levels up
+LVL_SHIFT = 48  # leaf key = (level << LVL_SHIFT) | cell  (cell < 2^(d*10))
+CELL_MASK = (np.int64(1) << LVL_SHIFT) - 1
+GROUP_SHIFT = 1  # partitions pack under the base level's ancestor this far up
+REFINE_STEP = 3  # hot base cells refine this many levels deeper
+MAX_LEAF_LEVEL = 10
 
 QCOLS = ("qw", "qx", "qy", "qz")
 TCOLS = ("tx", "ty", "tz")
@@ -156,117 +161,226 @@ def trans_cell_sql(bounds: list[tuple[float, float]], level: int) -> str:
     )
 
 
-# ------------------------------------------------------------------ stats
+# ------------------------------------------------------- layout (adaptive)
 
 
 @dataclass
-class PoseCellStats:
-    """FINE-level pruning statistics: one row per occupied fine grid cell
-    (tight data bboxes drive phase-2 admission)."""
+class PoseLayout:
+    """Skew-adaptive index layout.
 
-    keys: np.ndarray  # (C,) int64 fine cell ids
-    counts: np.ndarray  # (C,) int64
-    lo: np.ndarray  # (C, d) per-cell data bbox lows (d=4 rot / d=3 trans)
-    hi: np.ndarray  # (C, d)
+    LEAVES: mixed-granularity grid cells — base level everywhere, refined
+    REFINE_STEP deeper inside hot base cells — each with count + tight
+    data bbox (the pruning statistics).  Leaf arrays are ordered by
+    partition, contiguous per pid.
+
+    PARTITIONS: leaves bin-packed (under a coarse common ancestor, so
+    partitions are spatially coherent) into shuffle units of at most
+    max_cell_rows points; a still-hot single leaf (point mass) hash-salts.
+    The cogroup key is (pid << SALT_BITS) | salt."""
+
+    leaf_keys: np.ndarray  # (C,) encoded (lvl << LVL_SHIFT) | cell
+    leaf_counts: np.ndarray  # (C,)
+    leaf_lo: np.ndarray  # (C, d)
+    leaf_hi: np.ndarray  # (C, d)
+    leaf_pid: np.ndarray  # (C,) partition ordinal (contiguous runs)
+    p_start: np.ndarray  # (P+1,) leaf-array offsets per pid
+    p_counts: np.ndarray  # (P,)
+    p_salt_n: np.ndarray  # (P,)
+    p_lo: np.ndarray  # (P, d) union of member leaf bboxes
+    p_hi: np.ndarray  # (P, d)
+    level: int  # base grid level
+    refine_level: int | None
+    hot_fine: np.ndarray  # base cells that were refined
+
+    @property
+    def n_partitions(self) -> int:
+        return len(self.p_counts)
 
     @property
     def total(self) -> int:
-        return int(self.counts.sum())
+        return int(self.leaf_counts.sum())
 
 
-@dataclass
-class GroupLayout:
-    """COARSE-level partition layout: fine cells grouped by their ancestor
-    GROUP_SHIFT levels up.  The group id (plus a hash salt for hot groups)
-    is the cogroup/shuffle key; group boxes = union of member fine bboxes
-    serve as the first pruning level."""
-
-    g_keys: np.ndarray  # (G,) coarse ids (partition keys sans salt)
-    g_counts: np.ndarray  # (G,)
-    g_salt_n: np.ndarray  # (G,)
-    glo: np.ndarray  # (G, d) union of member bboxes
-    ghi: np.ndarray  # (G, d)
-    g_order: np.ndarray  # member fine-cell indexes grouped by g
-    g_start: np.ndarray  # offsets into g_order
-    coarse_level: int
-
-
-def _collect_stats(
-    df: DataFrame, cell_expr: str, dim_cols: list[str]
-) -> PoseCellStats:
+def _collect_cell_stats(df: DataFrame, cell_expr: str, dim_cols: list[str]):
     aggs = [F.count("*").alias("cnt")]
     for c in dim_cols:
         aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
     pdf = (
         df.groupBy(F.expr(cell_expr).alias("key")).agg(*aggs).toPandas()
     ).sort_values("key")
-    return PoseCellStats(
-        keys=pdf["key"].to_numpy(np.int64),
-        counts=pdf["cnt"].to_numpy(np.int64),
-        lo=pdf[[f"lo_{c}" for c in dim_cols]].to_numpy(np.float64),
-        hi=pdf[[f"hi_{c}" for c in dim_cols]].to_numpy(np.float64),
+    return (
+        pdf["key"].to_numpy(np.int64),
+        pdf["cnt"].to_numpy(np.int64),
+        pdf[[f"lo_{c}" for c in dim_cols]].to_numpy(np.float64),
+        pdf[[f"hi_{c}" for c in dim_cols]].to_numpy(np.float64),
     )
 
 
-def _group_layout(
-    stats: PoseCellStats, level: int, dims: int, max_cell_rows: int,
-    shift: int = GROUP_SHIFT,
-) -> GroupLayout:
-    coarse = max(0, level - shift)
-    anc = _coarsen_nd(stats.keys, level, coarse, dims)
-    g_keys, g_inv = np.unique(anc, return_inverse=True)
-    G = len(g_keys)
-    g_counts = np.zeros(G, np.int64)
-    np.add.at(g_counts, g_inv, stats.counts)
-    glo = np.full((G, dims), np.inf)
-    ghi = np.full((G, dims), -np.inf)
-    for j in range(dims):
-        np.minimum.at(glo[:, j], g_inv, stats.lo[:, j])
-        np.maximum.at(ghi[:, j], g_inv, stats.hi[:, j])
-    g_order = np.argsort(g_inv, kind="stable")
-    g_start = np.searchsorted(g_inv[g_order], np.arange(G + 1))
-    return GroupLayout(
-        g_keys=g_keys,
-        g_counts=g_counts,
-        g_salt_n=np.clip(
-            -(-g_counts // max_cell_rows), 1, 1 << SALT_BITS
-        ).astype(np.int64),
-        glo=glo,
-        ghi=ghi,
-        g_order=g_order,
-        g_start=g_start,
-        coarse_level=coarse,
+def build_layout(
+    df: DataFrame,
+    exprs: list[str],
+    bounds: list[tuple[float, float]],
+    dim_cols: list[str],
+    dims: int,
+    level: int,
+    max_cell_rows: int,
+) -> PoseLayout:
+    """One base stats pass; a second pass scoped to hot base cells refines
+    them REFINE_STEP levels deeper (the geo engine's hot-cell refinement,
+    d-generic); driver-side bin-packing builds the partitions."""
+    base_expr = grid_cell_sql(exprs, bounds, level)
+    k1, c1, lo1, hi1 = _collect_cell_stats(df, base_expr, dim_cols)
+    hot_mask = c1 > max_cell_rows
+    refine_level = None
+    hot_fine = np.empty(0, np.int64)
+    if hot_mask.any() and level < MAX_LEAF_LEVEL:
+        refine_level = min(level + REFINE_STEP, MAX_LEAF_LEVEL)
+        hot_fine = np.sort(k1[hot_mask])
+        hot_list = ", ".join(str(int(c)) for c in hot_fine)
+        scoped = df.filter(F.expr(f"({base_expr}) IN ({hot_list})"))
+        k2, c2, lo2, hi2 = _collect_cell_stats(
+            scoped, grid_cell_sql(exprs, bounds, refine_level), dim_cols
+        )
+        keep = ~hot_mask
+        leaf_keys = np.concatenate(
+            [
+                (np.int64(level) << LVL_SHIFT) + k1[keep],
+                (np.int64(refine_level) << LVL_SHIFT) + k2,
+            ]
+        )
+        leaf_counts = np.concatenate([c1[keep], c2])
+        leaf_lo = np.concatenate([lo1[keep], lo2])
+        leaf_hi = np.concatenate([hi1[keep], hi2])
+    else:
+        leaf_keys = (np.int64(level) << LVL_SHIFT) + k1
+        leaf_counts, leaf_lo, leaf_hi = c1, lo1, hi1
+
+    # order leaves by (coarse ancestor, key) and greedily pack partitions
+    coarse = max(0, level - GROUP_SHIFT)
+    lvls = (leaf_keys >> LVL_SHIFT).astype(np.int64)
+    cells = (leaf_keys & CELL_MASK).astype(np.int64)
+    anc = np.empty(len(leaf_keys), np.int64)
+    for lv in np.unique(lvls):
+        m = lvls == lv
+        anc[m] = _coarsen_nd(cells[m], int(lv), coarse, dims)
+    order = np.lexsort((leaf_keys, anc))
+    leaf_keys = leaf_keys[order]
+    leaf_counts = leaf_counts[order]
+    leaf_lo = leaf_lo[order]
+    leaf_hi = leaf_hi[order]
+    anc = anc[order]
+    C = len(leaf_keys)
+    pids = np.empty(C, np.int64)
+    cur, acc, prev_anc = -1, 0, None
+    for i in range(C):  # driver-side; C = occupied leaves (small)
+        c = int(leaf_counts[i])
+        a = int(anc[i])
+        if cur < 0 or a != prev_anc or acc + c > max_cell_rows:
+            cur += 1
+            acc = 0
+            prev_anc = a
+        pids[i] = cur
+        acc += c
+    P = cur + 1
+    p_start = np.searchsorted(pids, np.arange(P + 1))
+    p_counts = np.add.reduceat(leaf_counts, p_start[:-1])
+    p_lo = np.minimum.reduceat(leaf_lo, p_start[:-1], axis=0)
+    p_hi = np.maximum.reduceat(leaf_hi, p_start[:-1], axis=0)
+    p_salt_n = np.clip(
+        -(-p_counts // max_cell_rows), 1, 1 << SALT_BITS
+    ).astype(np.int64)
+    return PoseLayout(
+        leaf_keys=leaf_keys,
+        leaf_counts=leaf_counts,
+        leaf_lo=leaf_lo,
+        leaf_hi=leaf_hi,
+        leaf_pid=pids,
+        p_start=p_start,
+        p_counts=p_counts,
+        p_salt_n=p_salt_n,
+        p_lo=p_lo,
+        p_hi=p_hi,
+        level=level,
+        refine_level=refine_level,
+        hot_fine=hot_fine,
     )
 
 
-def _salted(df: DataFrame, spark: SparkSession, layout: GroupLayout,
-            group_expr: str, id_col: str) -> DataFrame:
-    salt_df = F.broadcast(
+def leaf_key_sql(
+    exprs: list[str], bounds: list[tuple[float, float]], layout: PoseLayout
+) -> str:
+    """SQL for a point's encoded leaf key: base-level cell, descending one
+    step into the refined grid inside hot base cells (geo key_sql, one
+    step)."""
+    base = grid_cell_sql(exprs, bounds, layout.level)
+    base_key = f"((CAST({layout.level} AS BIGINT) << {LVL_SHIFT}) + ({base}))"
+    if layout.refine_level is None or len(layout.hot_fine) == 0:
+        return base_key
+    fine = grid_cell_sql(exprs, bounds, layout.refine_level)
+    fine_key = (
+        f"((CAST({layout.refine_level} AS BIGINT) << {LVL_SHIFT}) + ({fine}))"
+    )
+    hot_list = ", ".join(str(int(c)) for c in layout.hot_fine)
+    return (
+        f"(CASE WHEN ({base}) IN ({hot_list}) THEN {fine_key}"
+        f" ELSE {base_key} END)"
+    )
+
+
+def _salted(df: DataFrame, spark: SparkSession, layout: PoseLayout,
+            leaf_expr: str, id_col: str) -> DataFrame:
+    leaf_map = F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame({"key": layout.g_keys, "salt_n": layout.g_salt_n})
+            pd.DataFrame(
+                {
+                    "key": layout.leaf_keys,
+                    "pid": layout.leaf_pid,
+                    "salt_n": layout.p_salt_n[layout.leaf_pid],
+                }
+            )
         )
     )
     return (
-        df.withColumn("key", F.expr(group_expr))
-        .join(salt_df, "key")
+        df.withColumn("key", F.expr(leaf_expr))
+        .join(leaf_map, "key")
         .withColumn(
             "part_key",
-            (F.col("key") * (1 << SALT_BITS))
+            (F.col("pid") * (1 << SALT_BITS))
             + F.pmod(F.xxhash64(id_col), F.col("salt_n")),
         )
     )
 
 
-def _part_keys(spark: SparkSession, layout: GroupLayout) -> DataFrame:
-    reps = layout.g_salt_n
-    key = np.repeat(layout.g_keys, reps)
+def _leaf_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
+    """(leaf key, part_key) exploded over the leaf's partition's salts —
+    probes join this so a probed partition probes ALL of its salts."""
+    reps = layout.p_salt_n[layout.leaf_pid]
+    key = np.repeat(layout.leaf_keys, reps)
+    pid = np.repeat(layout.leaf_pid, reps)
     off = np.concatenate([[0], np.cumsum(reps)[:-1]])
     salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
     return F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame({"key": key, "part_key": (key << SALT_BITS) + salt})
+            pd.DataFrame({"key": key, "part_key": (pid << SALT_BITS) + salt})
         )
     )
+
+
+def _pid_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
+    """(pid, part_key) for phase-2 candidate emission."""
+    reps = layout.p_salt_n
+    pid = np.repeat(np.arange(layout.n_partitions, dtype=np.int64), reps)
+    off = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
+    return F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"pid": pid, "part_key": (pid << SALT_BITS) + salt})
+        )
+    )
+
+
+def _leaf_pid_df(spark: SparkSession, layout: PoseLayout) -> pd.DataFrame:
+    return pd.DataFrame({"key": layout.leaf_keys, "pid": layout.leaf_pid})
 
 
 # --------------------------------------------------- pruning geometry (d-D)
@@ -285,8 +399,7 @@ def _bbox_min_dist(p: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 
 
 def _bbox_min_max_dist(p: np.ndarray, lo: np.ndarray, hi: np.ndarray):
-    """(Q, C) min and max L2 distances from points (Q, d) to boxes (C, d);
-    the d-generic twin of cells.bbox_min_dist / bbox_max_dist."""
+    """(Q, C) min and max L2 distances from points (Q, d) to boxes (C, d)."""
     dmin2 = np.zeros((len(p), len(lo)))
     dmax2 = np.zeros((len(p), len(lo)))
     for j in range(p.shape[1]):
@@ -302,9 +415,8 @@ def _bbox_min_max_dist(p: np.ndarray, lo: np.ndarray, hi: np.ndarray):
 
 def _count_bound(dmin, dmax, counts, k):
     """Per-row admission bound: walk cells in ascending dmax until their
-    counts cover k — that dmax upper-bounds the kth-NN distance (same
-    reasoning as engine._knn_candidates).  Statistics-only FALLBACK for
-    queries without a phase-1 home bound."""
+    counts cover k — that dmax upper-bounds the kth-NN distance.
+    Statistics-only FALLBACK for queries without a phase-1 home bound."""
     order = np.argsort(dmax, axis=1, kind="stable")
     cum = np.cumsum(counts[order], axis=1)
     need = np.argmax(cum >= k, axis=1)
@@ -334,48 +446,48 @@ def _coarsen_nd(cell: np.ndarray, level: int, coarse: int, dims: int) -> np.ndar
     return out
 
 
-def _group_candidates(
+def _partition_candidates(
     P: np.ndarray,
     bound: np.ndarray,
-    stats_lo: np.ndarray,
-    stats_hi: np.ndarray,
     layout_arrays,
-    home_g: np.ndarray | None = None,
+    home_pid: np.ndarray | None = None,
     scale: float = 1.0,
 ):
-    """Admit (query, GROUP) pairs: a group is admitted for a query when its
-    union box passes AND at least one member fine cell's tight bbox passes
-    scale * dist <= bound.  `home_g` groups are skipped (the whole home
-    group was probed in phase 1).  Returns (qi, g_key) arrays."""
-    g_keys, glo, ghi, g_order, g_start = layout_arrays
-    dmin_g = scale * _bbox_min_dist(P, glo, ghi)
-    adm_g = dmin_g <= bound[:, None]
-    if home_g is not None:
-        adm_g &= g_keys[None, :] != home_g[:, None]
+    """Admit (query, PARTITION) pairs: a partition is admitted when its
+    union box passes AND at least one member leaf's tight bbox passes
+    scale * dist <= bound.  `home_pid` partitions are skipped (fully
+    probed in phase 1).  Returns (qi, pid) arrays."""
+    leaf_lo, leaf_hi, p_lo, p_hi, p_start = layout_arrays
+    dmin_p = scale * _bbox_min_dist(P, p_lo, p_hi)
+    adm = dmin_p <= bound[:, None]
+    if home_pid is not None:
+        adm &= np.arange(len(p_lo))[None, :] != home_pid[:, None]
     out_qi: list[np.ndarray] = []
-    out_gk: list[np.ndarray] = []
-    for g in np.nonzero(adm_g.any(axis=0))[0]:
-        rows_g = np.nonzero(adm_g[:, g])[0]
-        mem = g_order[g_start[g] : g_start[g + 1]]
-        dmin = scale * _bbox_min_dist(P[rows_g], stats_lo[mem], stats_hi[mem])
-        ok = (dmin <= bound[rows_g][:, None]).any(axis=1)
-        sel = rows_g[ok]
+    out_pid: list[np.ndarray] = []
+    for p in np.nonzero(adm.any(axis=0))[0]:
+        rows_p = np.nonzero(adm[:, p])[0]
+        s, e = p_start[p], p_start[p + 1]
+        dmin = scale * _bbox_min_dist(P[rows_p], leaf_lo[s:e], leaf_hi[s:e])
+        ok = (dmin <= bound[rows_p][:, None]).any(axis=1)
+        sel = rows_p[ok]
         if len(sel) > 0:
             out_qi.append(sel)
-            out_gk.append(np.full(len(sel), g_keys[g], np.int64))
+            out_pid.append(np.full(len(sel), p, np.int64))
     if not out_qi:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    return np.concatenate(out_qi), np.concatenate(out_gk)
+    return np.concatenate(out_qi), np.concatenate(out_pid)
 
 
 def _grid_home_edge(
-    P: np.ndarray, vmin: np.ndarray, vspan: np.ndarray, n: int
+    P: np.ndarray, vmin: np.ndarray, vspan: np.ndarray, n_rows: np.ndarray
 ) -> np.ndarray:
     """Distance from each point to the nearest boundary of its own grid
-    cell, minus a float-rounding margin (the d-D twin of the geo kernel's
-    home_edge): every point of every OTHER cell is at least this far away,
-    so a query whose bound is strictly below it skips phase 2 entirely."""
+    cell AT ITS OWN LEAF LEVEL (n_rows: per-row cells-per-axis), minus a
+    float-rounding margin: every point of every OTHER leaf is at least
+    this far away, so a query whose bound is strictly below it skips
+    phase 2 entirely."""
+    n = n_rows.astype(np.float64)[:, None]
     idx = np.clip(np.floor((P - vmin) / vspan * n), 0, n - 1)
     w = vspan / n
     lo = vmin + idx * w
@@ -408,9 +520,9 @@ def _angular_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def level_for_poses(n_rows: int, dims: int, target: int = 192, max_level: int = 6) -> int:
-    """Per-axis log2 resolution of the FINE pruning grid so occupied cells
-    hold O(target) rows; the partition key sits GROUP_SHIFT levels coarser
-    (2^(dims*shift) * target rows per cogroup group)."""
+    """Per-axis log2 resolution of the BASE leaf grid so occupied cells
+    hold O(target) rows; hot cells refine deeper, partitions pack
+    coarser."""
     import math
 
     if n_rows <= target:
@@ -422,9 +534,12 @@ def level_for_poses(n_rows: int, dims: int, target: int = 192, max_level: int = 
 # ------------------------------------------------------------ SO(3) join
 
 
+_B4 = [(-1.0, 2.0)] * 4
+
+
 class So3Index:
     """Build-once / query-many SO(3) index (the reference's KDTree contract
-    applied to the rotation space): canonicalized + group-salted corpus
+    applied to the rotation space): canonicalized, refinement-salted corpus
     persisted PRE-PARTITIONED on part_key so repeat query batches shuffle
     only the candidate side (same layout trick as engine.GeoIndex)."""
 
@@ -441,18 +556,18 @@ class So3Index:
             n = n_poses_hint if n_poses_hint is not None else poses.count()
             level = level_for_poses(n, dims=4)
         self.level = level
-        self.cell_expr = so3_cell_sql(level)
         sign = canon_sign_sql()
         canon = poses.select(
             "pose_id",
-            *QCOLS,  # cell/group exprs read the raw coefficients
+            *QCOLS,  # grid exprs read the raw coefficients via the sign
             *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
         )
-        self.stats = _collect_stats(canon, self.cell_expr, list(CCOLS))
-        self.layout = _group_layout(self.stats, level, 4, max_cell_rows)
-        self.group_expr = so3_cell_sql(self.layout.coarse_level)
+        self.layout = build_layout(
+            canon, list(CCOLS), _B4, list(CCOLS), 4, level, max_cell_rows
+        )
+        self.leaf_expr = leaf_key_sql(list(CCOLS), _B4, self.layout)
         self.corpus = (
-            _salted(canon, spark, self.layout, self.group_expr, "pose_id")
+            _salted(canon, spark, self.layout, self.leaf_expr, "pose_id")
             .select("pose_id", *CCOLS, "part_key")
             .repartition(
                 int(spark.conf.get("spark.sql.shuffle.partitions")), "part_key"
@@ -460,24 +575,38 @@ class So3Index:
             .persist()
         )
         self.corpus.count()  # materialize
-        self.part_keys = _part_keys(spark, self.layout)
         self._caches: list[DataFrame] = []
 
     def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
         return _so3_knn_on_index(
-            self.spark, self.corpus, self.stats, self.layout, self.part_keys,
-            queries, k, self.level, cache_registry=self._caches,
+            self.spark, self.corpus, self.layout, queries, k,
+            cache_registry=self._caches,
         )
 
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
         return _so3_radius_on_index(
-            self.spark, self.corpus, self.stats, self.layout, self.part_keys,
-            queries, r,
+            self.spark, self.corpus, self.layout, queries, r
         )
 
     def unpersist(self) -> None:
         _release_registry(self._caches)
         self.corpus.unpersist()
+
+
+def _so3_corpus(spark, poses, level, max_cell_rows):
+    sign = canon_sign_sql()
+    canon = poses.select(
+        "pose_id",
+        *QCOLS,
+        *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
+    )
+    layout = build_layout(
+        canon, list(CCOLS), _B4, list(CCOLS), 4, level, max_cell_rows
+    )
+    corpus = _salted(
+        canon, spark, layout, leaf_key_sql(list(CCOLS), _B4, layout), "pose_id"
+    ).select("pose_id", *CCOLS, "part_key")
+    return corpus, layout
 
 
 def so3_knn_join(
@@ -494,11 +623,11 @@ def so3_knn_join(
     ``arccos(|q . p|)``, ties by pose_id.  Returns
     (query_id, pose_id, ang, rank).
 
-    Plan: canonicalize -> 4-D fine grid stats + coarse partition groups ->
-    phase-1 HOME-GROUP probe at both +q and -q (true kth bound) -> phase-2
-    group admission by member-cell bboxes within the bound -> per-group
-    4-D k-d kernels inside cogroups -> min per (query, pose) to dedupe
-    antipodal double-hits -> window top-k.
+    Plan: canonicalize -> adaptive leaf grid (hot cells refined) packed
+    into partitions -> phase-1 HOME-partition probe at both +q and -q
+    (true kth bound) -> phase-2 partition admission by member-leaf bboxes
+    within the bound -> per-partition 4-D k-d kernels inside cogroups ->
+    min per (query, pose) to dedupe antipodal double-hits -> window top-k.
     Reference: SO3 build/query ``src/_so3space.hpp:594-658``, ordered
     volume traversal with early exit ``src/_so3space.hpp:401-423``, test
     matrix ``test/kdtree_test.cpp:385-417``.
@@ -509,33 +638,16 @@ def so3_knn_join(
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
         level = level_for_poses(n, dims=4)
-    cell_expr = so3_cell_sql(level)
-    sign = canon_sign_sql()
-    canon = poses.select(
-        "pose_id",
-        *QCOLS,
-        *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
-    )
-    stats = _collect_stats(canon, cell_expr, list(CCOLS))
-    layout = _group_layout(stats, level, 4, max_cell_rows)
-    corpus = _salted(
-        canon, spark, layout, so3_cell_sql(layout.coarse_level), "pose_id"
-    ).select("pose_id", *CCOLS, "part_key")
-    part_keys = _part_keys(spark, layout)
-    return _so3_knn_on_index(
-        spark, corpus, stats, layout, part_keys, queries, k, level
-    )
+    corpus, layout = _so3_corpus(spark, poses, level, max_cell_rows)
+    return _so3_knn_on_index(spark, corpus, layout, queries, k)
 
 
 def _so3_knn_on_index(
     spark: SparkSession,
     corpus: DataFrame,
-    stats: PoseCellStats,
-    layout: GroupLayout,
-    part_keys: DataFrame,
+    layout: PoseLayout,
     queries: DataFrame,
     k: int,
-    level: int,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     if cache_registry is None:
@@ -548,22 +660,19 @@ def _so3_knn_on_index(
         "query_id",
         *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
     ).repartition(shuffle_n)
-    bounds4 = [(-1.0, 2.0)] * 4
-    coarse = layout.coarse_level
-    pos_gkey = grid_cell_sql(ccols, bounds4, coarse)
-    neg_gkey = grid_cell_sql([f"(- {c})" for c in ccols], bounds4, coarse)
+    pos_leaf = leaf_key_sql(ccols, _B4, layout)
+    neg_leaf = leaf_key_sql([f"(- {c})" for c in ccols], _B4, layout)
+    leaf_salts = _leaf_salts(spark, layout)
+    pid_salts = _pid_salts(spark, layout)
+    leaf_pid = F.broadcast(spark.createDataFrame(_leaf_pid_df(spark, layout)))
 
-    # ---- phase 1: probe each probe-point's HOME group (all salts) -------
-    # Two probe rows per query (+canon and -canon, the antipodal
-    # reduction); the inner join against part_keys drops probes whose home
-    # group is unoccupied — in particular nearly every minus probe, since
-    # canonicalized corpus points live in the cw >= 0 half.
+    # ---- phase 1: probe each probe-point's HOME partition (all salts) ---
     probes = (
-        qc.withColumn("sgn", F.lit(1.0)).withColumn("key", F.expr(pos_gkey))
+        qc.withColumn("sgn", F.lit(1.0)).withColumn("key", F.expr(pos_leaf))
     ).unionByName(
-        qc.withColumn("sgn", F.lit(-1.0)).withColumn("key", F.expr(neg_gkey))
+        qc.withColumn("sgn", F.lit(-1.0)).withColumn("key", F.expr(neg_leaf))
     )
-    p1_cand = probes.join(part_keys, "key").select(
+    p1_cand = probes.join(leaf_salts, "key").select(
         "query_id", *ccols, "sgn", "part_key"
     )
 
@@ -582,9 +691,6 @@ def _so3_knn_on_index(
         C4 = left[ccols].to_numpy(np.float64)
         QP = C4 * left["sgn"].to_numpy(np.float64)[:, None]
         qi, idx, eu = kernel.knn(tree, QP, k, tie_key=tie)
-        # final metric recomputed with the oracle's exact expression (the
-        # euclid->angular map is strictly monotone; candidate selection by
-        # euclid is therefore rank-preserving)
         ang = _angular_np(QP[qi], P[idx])
         return pd.DataFrame(
             {
@@ -609,19 +715,13 @@ def _so3_knn_on_index(
     w = Window.partitionBy("query_id").orderBy("ang", "pose_id")
     wq = Window.partitionBy("query_id")
     p1 = _register_cache(p1, cache_registry)
-    # no pose is double-hit in phase 1 (each pose lives in exactly one
-    # group; the two probes target DIFFERENT groups), so ranks merge clean
     p1_topk = (
         p1.withColumn("rank", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(wq))
         .filter(F.col("rank") <= k)
     )
 
-    # ---- phase 2: bound rows, early exits, group admission --------------
-    # bound = max EUCLIDEAN distance over the top-k-by-angle rows when the
-    # home probes produced >= k rows: k distinct poses provably lie within
-    # it, so it upper-bounds the true kth distance (euclid-side, where all
-    # pruning geometry lives).
+    # ---- phase 2: bound rows, early exits, partition admission ----------
     bound_rows = (
         p1_topk.withColumn("eumax", F.max("eu").over(wq))
         .filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
@@ -632,35 +732,40 @@ def _so3_knn_on_index(
             .alias("bound"),
         )
     )
-    # queries with BOTH home groups unoccupied never reach p1: recover
-    # them with broadcast anti joins against the (small) occupied-key set.
-    occ = part_keys.select("key").distinct()
-    qk = qc.withColumn("kp", F.expr(pos_gkey)).withColumn("kn", F.expr(neg_gkey))
+    occ = leaf_salts.select("key").distinct()
+    qk = qc.withColumn("kp", F.expr(pos_leaf)).withColumn("kn", F.expr(neg_leaf))
     absent = (
         qk.join(F.broadcast(occ.withColumnRenamed("key", "kp")), "kp", "left_anti")
         .join(F.broadcast(occ.withColumnRenamed("key", "kn")), "kn", "left_anti")
         .select("query_id", *ccols, F.lit(float("inf")).alias("bound"))
     )
+    # home pids (-1 when unoccupied) + leaf keys (level decides edge width)
     q_b = (
         bound_rows.unionByName(absent)
-        .withColumn("kp", F.expr(pos_gkey))
-        .withColumn("kn", F.expr(neg_gkey))
+        .withColumn("kp", F.expr(pos_leaf))
+        .withColumn("kn", F.expr(neg_leaf))
+        .join(
+            leaf_pid.withColumnRenamed("key", "kp").withColumnRenamed("pid", "kp_pid"),
+            "kp", "left",
+        )
+        .join(
+            leaf_pid.withColumnRenamed("key", "kn").withColumnRenamed("pid", "kn_pid"),
+            "kn", "left",
+        )
+        .fillna({"kp_pid": -1, "kn_pid": -1})
     )
 
     bc = spark.sparkContext.broadcast(
         (
-            stats.counts, stats.lo, stats.hi,
-            layout.g_keys, layout.glo, layout.ghi,
-            layout.g_order, layout.g_start,
+            layout.leaf_counts, layout.leaf_lo, layout.leaf_hi,
+            layout.p_lo, layout.p_hi, layout.p_start,
         )
     )
-    n_coarse = 1 << coarse
 
     def gen(batches):
-        counts, lo, hi, g_keys, glo, ghi, gord, gstart = bc.value
+        counts, lo, hi, p_lo, p_hi, p_start = bc.value
         C = len(counts)
-        G_ = len(g_keys)
-        la = (g_keys, glo, ghi, gord, gstart)
+        la = (lo, hi, p_lo, p_hi, p_start)
         vmin = np.full(4, -1.0)
         vspan = np.full(4, 2.0)
         for pdf in batches:
@@ -669,8 +774,10 @@ def _so3_knn_on_index(
             C4 = pdf[ccols].to_numpy(np.float64)
             given = pdf["bound"].to_numpy(np.float64)
             kp = pdf["kp"].to_numpy(np.int64)
-            kn = pdf["kn"].to_numpy(np.int64)
+            kp_pid = pdf["kp_pid"].to_numpy(np.int64)
+            kn_pid = pdf["kn_pid"].to_numpy(np.int64)
             qid = pdf["query_id"].to_numpy()
+            n_leaf = (np.int64(1) << (kp >> LVL_SHIFT)).astype(np.int64)
             chunk = max(256, 8_000_000 // max(C, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
@@ -678,8 +785,6 @@ def _so3_knn_on_index(
                 b = given[sl].copy()
                 nb = np.nonzero(~np.isfinite(b))[0]
                 if len(nb) > 0:
-                    # statistics-only fallback for the (few) queries whose
-                    # home probes covered fewer than k poses
                     dps = [
                         _bbox_min_max_dist(s * P4[nb], lo, hi)
                         for s in (1.0, -1.0)
@@ -688,23 +793,21 @@ def _so3_knn_on_index(
                         _count_bound(dps[0][0], dps[0][1], counts, k),
                         _count_bound(dps[1][0], dps[1][1], counts, k),
                     )
-                # home-edge exit against the COARSE cell (the home group's
-                # grid box): wider cell => more queries exit than a
-                # fine-cell test would allow
-                edge = _grid_home_edge(P4, vmin, vspan, n_coarse)
-                for sgn, home in ((1.0, kp[sl]), (-1.0, kn[sl])):
+                # home-edge exit against the query's OWN leaf cell (its
+                # level encodes the width — refined leaves test tighter)
+                edge = _grid_home_edge(P4, vmin, vspan, n_leaf[sl])
+                for sgn, home in ((1.0, kp_pid[sl]), (-1.0, kn_pid[sl])):
                     if sgn > 0:
                         alive = ~(b < edge)
                     else:
-                        # canonical corpus points all have cw >= 0, so the
-                        # minus probe (w = -cw_q <= 0) is >= cw_q from every
-                        # point: one compare kills most minus sweeps
+                        # canonical corpus points all have cw >= 0: the
+                        # minus probe is >= cw_q from every point
                         alive = ~(b < P4[:, 0])
                     rows = np.nonzero(alive)[0]
                     if len(rows) == 0:
                         continue
-                    qi, gk = _group_candidates(
-                        sgn * P4[rows], b[rows], lo, hi, la, home_g=home[rows],
+                    qi, pid = _partition_candidates(
+                        sgn * P4[rows], b[rows], la, home_pid=home[rows]
                     )
                     if len(qi) == 0:
                         continue
@@ -714,17 +817,17 @@ def _so3_knn_on_index(
                             "query_id": qid[sl][rows[qi]],
                             "pw": pr[:, 0], "px": pr[:, 1],
                             "py": pr[:, 2], "pz": pr[:, 3],
-                            "key": gk,
+                            "pid": pid,
                         }
                     )
 
     p2_cand = q_b.mapInPandas(
         gen,
         schema="query_id string, pw double, px double, py double, pz double,"
-        " key long",
+        " pid long",
     )
     p2_cand = _register_cache(
-        p2_cand.join(part_keys, "key").select(
+        p2_cand.join(pid_salts, "pid").select(
             "query_id", "pw", "px", "py", "pz", "part_key"
         ),
         cache_registry,
@@ -796,39 +899,23 @@ def so3_radius_join(
     The fixed radius r maps to a EUCLIDEAN chord bound
     ``sqrt(2 - 2 cos r)`` on the canonicalized R^4 coordinates (the
     angular metric is strictly increasing in the antipodal-min chord), so
-    admission and the per-group kernel run entirely in chord space — no
-    phase-1 probe needed; both antipodal probes admit groups whose member
-    fine-cell bboxes come within the (slightly padded) chord, and the
+    admission and the per-partition kernel run entirely in chord space —
+    no phase-1 probe needed; both antipodal probes admit partitions whose
+    member leaf bboxes come within the (slightly padded) chord, and the
     EXACT libm angle filters the final pairs, so the float padding can
     only add work, never wrong rows.  One-shot convenience over
     :class:`So3Index.radius_join`."""
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
         level = level_for_poses(n, dims=4)
-    cell_expr = so3_cell_sql(level)
-    sign = canon_sign_sql()
-    canon = poses.select(
-        "pose_id",
-        *QCOLS,
-        *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS],
-    )
-    stats = _collect_stats(canon, cell_expr, list(CCOLS))
-    layout = _group_layout(stats, level, 4, max_cell_rows)
-    corpus = _salted(
-        canon, spark, layout, so3_cell_sql(layout.coarse_level), "pose_id"
-    ).select("pose_id", *CCOLS, "part_key")
-    part_keys = _part_keys(spark, layout)
-    return _so3_radius_on_index(
-        spark, corpus, stats, layout, part_keys, queries, r
-    )
+    corpus, layout = _so3_corpus(spark, poses, level, max_cell_rows)
+    return _so3_radius_on_index(spark, corpus, layout, queries, r)
 
 
 def _so3_radius_on_index(
     spark: SparkSession,
     corpus: DataFrame,
-    stats: PoseCellStats,
-    layout: GroupLayout,
-    part_keys: DataFrame,
+    layout: PoseLayout,
     queries: DataFrame,
     r: float,
 ) -> DataFrame:
@@ -842,18 +929,15 @@ def _so3_radius_on_index(
         "query_id",
         *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
     ).repartition(shuffle_n)
+    pid_salts = _pid_salts(spark, layout)
 
     bc = spark.sparkContext.broadcast(
-        (
-            stats.lo, stats.hi,
-            layout.g_keys, layout.glo, layout.ghi,
-            layout.g_order, layout.g_start,
-        )
+        (layout.leaf_lo, layout.leaf_hi, layout.p_lo, layout.p_hi, layout.p_start)
     )
 
     def gen(batches):
-        lo, hi, g_keys, glo, ghi, gord, gstart = bc.value
-        la = (g_keys, glo, ghi, gord, gstart)
+        lo, hi, p_lo, p_hi, p_start = bc.value
+        la = (lo, hi, p_lo, p_hi, p_start)
         for pdf in batches:
             if len(pdf) == 0 or len(lo) == 0:
                 continue
@@ -866,16 +950,12 @@ def _so3_radius_on_index(
                 b = np.full(len(P4), chord)
                 for sgn in (1.0, -1.0):
                     if sgn < 0:
-                        # canonical points have cw >= 0: the minus probe is
-                        # at least cw_q away from every pose
                         rows = np.nonzero(~(b < P4[:, 0]))[0]
                     else:
                         rows = np.arange(len(P4))
                     if len(rows) == 0:
                         continue
-                    qi, gk = _group_candidates(
-                        sgn * P4[rows], b[rows], lo, hi, la
-                    )
+                    qi, pid = _partition_candidates(sgn * P4[rows], b[rows], la)
                     if len(qi) == 0:
                         continue
                     pr = sgn * P4[rows[qi]]
@@ -884,15 +964,15 @@ def _so3_radius_on_index(
                             "query_id": qid[sl][rows[qi]],
                             "pw": pr[:, 0], "px": pr[:, 1],
                             "py": pr[:, 2], "pz": pr[:, 3],
-                            "key": gk,
+                            "pid": pid,
                         }
                     )
 
     cand = qc.mapInPandas(
         gen,
         schema="query_id string, pw double, px double, py double, pz double,"
-        " key long",
-    ).join(part_keys, "key").select("query_id", "pw", "px", "py", "pz", "part_key")
+        " pid long",
+    ).join(pid_salts, "pid").select("query_id", "pw", "px", "py", "pz", "part_key")
     probe_keys = F.broadcast(cand.select("part_key").distinct())
     corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
 
@@ -928,9 +1008,10 @@ def _so3_radius_on_index(
 
 
 class Se3Index:
-    """Build-once / query-many SE(3) index: group-salted corpus persisted
-    PRE-PARTITIONED on the translation-grid part_key (same layout as
-    GeoIndex/So3Index) — repeat batches shuffle only the candidate side."""
+    """Build-once / query-many SE(3) index: refinement-salted corpus
+    persisted PRE-PARTITIONED on the translation-grid part_key (same
+    layout as GeoIndex/So3Index) — repeat batches shuffle only the
+    candidate side."""
 
     def __init__(
         self,
@@ -949,13 +1030,17 @@ class Se3Index:
             *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
             *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
         ).first()
-        self.bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
-        self.cell_expr = trans_cell_sql(self.bounds, level)
-        self.stats = _collect_stats(poses, self.cell_expr, list(TCOLS))
-        self.layout = _group_layout(self.stats, level, 3, max_cell_rows)
-        self.group_expr = trans_cell_sql(self.bounds, self.layout.coarse_level)
+        self.bounds = [
+            (float(b[f"lo_{c}"]), float(b[f"hi_{c}"]) ) for c in TCOLS
+        ]
+        b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in self.bounds]
+        self.b3 = b3
+        self.layout = build_layout(
+            poses, list(TCOLS), b3, list(TCOLS), 3, level, max_cell_rows
+        )
+        self.leaf_expr = leaf_key_sql(list(TCOLS), b3, self.layout)
         self.corpus = (
-            _salted(poses, spark, self.layout, self.group_expr, "pose_id")
+            _salted(poses, spark, self.layout, self.leaf_expr, "pose_id")
             .select("pose_id", *QCOLS, *TCOLS, "part_key")
             .repartition(
                 int(spark.conf.get("spark.sql.shuffle.partitions")), "part_key"
@@ -963,7 +1048,6 @@ class Se3Index:
             .persist()
         )
         self.corpus.count()  # materialize
-        self.part_keys = _part_keys(spark, self.layout)
         self._caches: list[DataFrame] = []
 
     def knn_join(
@@ -974,9 +1058,9 @@ class Se3Index:
         trans_weight: float = 1.0,
     ) -> DataFrame:
         return _se3_knn_on_index(
-            self.spark, self.corpus, self.stats, self.layout, self.part_keys,
-            queries, k, rot_weight, trans_weight, self.level, self.bounds,
-            self.group_expr, cache_registry=self._caches,
+            self.spark, self.corpus, self.layout, queries, k,
+            rot_weight, trans_weight, self.b3, self.leaf_expr,
+            cache_registry=self._caches,
         )
 
     def unpersist(self) -> None:
@@ -1001,12 +1085,12 @@ def se3_knn_join(
     ``src/_compoundspace.hpp:60-88``).  Returns
     (query_id, pose_id, dist, rank).
 
-    Partition key: 3-D grid over translation (data-derived bounds), one
-    level coarser than the pruning stats.  Cell pruning is exact: lower
+    Partition key: adaptive grid over translation (data-derived bounds,
+    hot cells refined, leaves bin-packed).  Cell pruning is exact: lower
     bound = trans_weight * dist-to-bbox (rotation contributes >= 0); the
-    phase-1 home-group probe supplies TRUE compound kth distances, so the
+    phase-1 home probe supplies TRUE compound kth distances, so the
     ``rot_weight * pi/2`` diameter slack enters only the fallback for
-    queries whose home group holds fewer than k poses.
+    queries whose home partition holds fewer than k poses.
     One-shot convenience over :class:`Se3Index` (corpus unpersisted)."""
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
@@ -1016,26 +1100,22 @@ def se3_knn_join(
         *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
     ).first()
     bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
-    cell_expr = trans_cell_sql(bounds, level)
-    stats = _collect_stats(poses, cell_expr, list(TCOLS))
-    layout = _group_layout(stats, level, 3, max_cell_rows)
-    group_expr = trans_cell_sql(bounds, layout.coarse_level)
-    corpus = _salted(poses, spark, layout, group_expr, "pose_id").select(
+    b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in bounds]
+    layout = build_layout(poses, list(TCOLS), b3, list(TCOLS), 3, level, max_cell_rows)
+    leaf_expr = leaf_key_sql(list(TCOLS), b3, layout)
+    corpus = _salted(poses, spark, layout, leaf_expr, "pose_id").select(
         "pose_id", *QCOLS, *TCOLS, "part_key"
     )
-    part_keys = _part_keys(spark, layout)
     return _se3_knn_on_index(
-        spark, corpus, stats, layout, part_keys, queries, k, rot_weight,
-        trans_weight, level, bounds, group_expr,
+        spark, corpus, layout, queries, k, rot_weight, trans_weight, b3, leaf_expr
     )
 
 
 def _make_se3_group(k: int, rw: float, tw: float, carry: bool):
     """Cogroup kernel: branch-and-bound compound search via
-    kernel.knn_compound — a k-d tree over the group's TRANSLATIONS prunes
-    with the trans_weight * distToLeaf lower bound, so per-query work is
-    leaf-log + admitted scans instead of the dense Q x P matrix the
-    round-2 kernel computed (which made big two-level groups quadratic).
+    kernel.knn_compound — a k-d tree over the partition's TRANSLATIONS
+    prunes with the trans_weight * distToLeaf lower bound, so per-query
+    work is leaf-log + admitted scans instead of a dense Q x P matrix.
     Selection runs on SIMD arccos padded by a relative 1e-12 margin;
     final values are libm-rescored from the returned (ldot, et), so the
     downstream window (ordered by the EXACT dist) decides oracle-exactly.
@@ -1077,16 +1157,13 @@ def _make_se3_group(k: int, rw: float, tw: float, carry: bool):
 def _se3_knn_on_index(
     spark: SparkSession,
     corpus: DataFrame,
-    stats: PoseCellStats,
-    layout: GroupLayout,
-    part_keys: DataFrame,
+    layout: PoseLayout,
     queries: DataFrame,
     k: int,
     rot_weight: float,
     trans_weight: float,
-    level: int,
-    bounds: list[tuple[float, float]],
-    group_expr: str,
+    b3: list[tuple[float, float]],
+    leaf_expr: str,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     if cache_registry is None:
@@ -1095,12 +1172,15 @@ def _se3_knn_on_index(
     rw, tw = float(rot_weight), float(trans_weight)
     rot_diam = rw * (np.pi / 2.0)
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    leaf_salts = _leaf_salts(spark, layout)
+    pid_salts = _pid_salts(spark, layout)
+    leaf_pid = F.broadcast(spark.createDataFrame(_leaf_pid_df(spark, layout)))
 
     q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
 
-    # ---- phase 1: home-group probe (all salts) — TRUE compound bound ----
-    q_home = q.withColumn("key", F.expr(group_expr))
-    p1_cand = q_home.join(part_keys, "key").select(
+    # ---- phase 1: home-partition probe (all salts) — TRUE compound bound
+    q_home = q.withColumn("key", F.expr(leaf_expr))
+    p1_cand = q_home.join(leaf_salts, "key").select(
         "query_id", *QCOLS, *TCOLS, "part_key"
     )
     carry_schema = (
@@ -1131,36 +1211,41 @@ def _se3_knn_on_index(
         )
     )
     absent = (
-        q_home.join(part_keys, "key", "left_anti")
+        q_home.join(leaf_salts, "key", "left_anti")
         .select("query_id", *QCOLS, *TCOLS, F.lit(float("inf")).alias("bound"))
     )
     q_b = (
         bound_rows.unionByName(absent)
-        .withColumn("home_key", F.expr(group_expr))
+        .withColumn("hk", F.expr(leaf_expr))
+        .join(
+            leaf_pid.withColumnRenamed("key", "hk").withColumnRenamed("pid", "home_pid"),
+            "hk", "left",
+        )
+        .fillna({"home_pid": -1})
     )
 
-    # ---- phase 2: group admission within the compound bound -------------
+    # ---- phase 2: partition admission within the compound bound ---------
     bc = spark.sparkContext.broadcast(
         (
-            stats.counts, stats.lo, stats.hi,
-            layout.g_keys, layout.glo, layout.ghi,
-            layout.g_order, layout.g_start,
+            layout.leaf_counts, layout.leaf_lo, layout.leaf_hi,
+            layout.p_lo, layout.p_hi, layout.p_start,
         )
     )
-    n_coarse = 1 << layout.coarse_level
-    vmin_a = np.array([lo for lo, _ in bounds])
-    vspan_a = np.array([max(hi - lo, 1e-9) for lo, hi in bounds])
+    vmin_a = np.array([lo for lo, _ in b3])
+    vspan_a = np.array([span for _, span in b3])
 
     def gen(batches):
-        counts, lo, hi, g_keys, glo, ghi, gord, gstart = bc.value
+        counts, lo, hi, p_lo, p_hi, p_start = bc.value
         C = len(counts)
-        la = (g_keys, glo, ghi, gord, gstart)
+        la = (lo, hi, p_lo, p_hi, p_start)
         for pdf in batches:
             if len(pdf) == 0 or C == 0:
                 continue
             T = pdf[list(TCOLS)].to_numpy(np.float64)
             given = pdf["bound"].to_numpy(np.float64)
-            home = pdf["home_key"].to_numpy(np.int64)
+            home = pdf["home_pid"].to_numpy(np.int64)
+            hk = pdf["hk"].to_numpy(np.int64)
+            n_leaf = (np.int64(1) << (hk >> LVL_SHIFT)).astype(np.int64)
             chunk = max(256, 8_000_000 // max(C, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
@@ -1184,32 +1269,31 @@ def _se3_knn_on_index(
                         np.inf,
                     )
                 # home-edge early exit in COMPOUND units against the
-                # COARSE (home-group) cell boundary
-                edge = tw * _grid_home_edge(P3, vmin_a, vspan_a, n_coarse)
+                # query's OWN leaf cell boundary (level-aware width)
+                edge = tw * _grid_home_edge(P3, vmin_a, vspan_a, n_leaf[sl])
                 alive = ~(b < edge)
                 rows = np.nonzero(alive)[0]
                 if len(rows) == 0:
                     continue
-                qi, gk = _group_candidates(
-                    P3[rows], b[rows], lo, hi, la,
-                    home_g=home[sl][rows], scale=tw,
+                qi, pid = _partition_candidates(
+                    P3[rows], b[rows], la, home_pid=home[sl][rows], scale=tw
                 )
                 if len(qi) == 0:
                     continue
                 out = pdf.iloc[np.asarray(rows[qi]) + c0][
                     ["query_id", *QCOLS, *TCOLS]
                 ].copy()
-                out["key"] = gk
+                out["pid"] = pid
                 yield out
 
     p2_cand = q_b.mapInPandas(
         gen,
         schema="query_id string, "
         + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
-        + ", key long",
+        + ", pid long",
     )
     p2_cand = _register_cache(
-        p2_cand.join(part_keys, "key").drop("key"), cache_registry
+        p2_cand.join(pid_salts, "pid").drop("pid"), cache_registry
     )
     p2_cand.count()
     probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
@@ -1223,8 +1307,8 @@ def _se3_knn_on_index(
         )
     )
 
-    # no dedupe needed: a pose lives in exactly one group — home poses only
-    # in phase 1, others only in phase 2 (single probe point)
+    # no dedupe needed: a pose lives in exactly one partition — home poses
+    # only in phase 1, others only in phase 2 (single probe point)
     affected = F.broadcast(p2_cand.select("query_id").distinct())
     untouched = (
         p1_topk.join(affected, "query_id", "left_anti")
