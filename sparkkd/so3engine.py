@@ -577,10 +577,12 @@ class So3Index:
         self.corpus.count()  # materialize
         self._caches: list[DataFrame] = []
 
-    def knn_join(self, queries: DataFrame, k: int = 8) -> DataFrame:
+    def knn_join(
+        self, queries: DataFrame, k: int = 8, max_radius: float = float("inf")
+    ) -> DataFrame:
         return _so3_knn_on_index(
             self.spark, self.corpus, self.layout, queries, k,
-            cache_registry=self._caches,
+            max_radius=max_radius, cache_registry=self._caches,
         )
 
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
@@ -617,6 +619,7 @@ def so3_knn_join(
     level: int | None = None,
     max_cell_rows: int = 16384,
     n_poses_hint: int | None = None,
+    max_radius: float = float("inf"),
 ) -> DataFrame:
     """Exact angular kNN join over quaternion columns (qw, qx, qy, qz):
     for every query pose, its k nearest corpus poses by
@@ -639,7 +642,7 @@ def so3_knn_join(
         n = n_poses_hint if n_poses_hint is not None else poses.count()
         level = level_for_poses(n, dims=4)
     corpus, layout = _so3_corpus(spark, poses, level, max_cell_rows)
-    return _so3_knn_on_index(spark, corpus, layout, queries, k)
+    return _so3_knn_on_index(spark, corpus, layout, queries, k, max_radius=max_radius)
 
 
 def _so3_knn_on_index(
@@ -648,11 +651,21 @@ def _so3_knn_on_index(
     layout: PoseLayout,
     queries: DataFrame,
     k: int,
+    max_radius: float = float("inf"),
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     if cache_registry is None:
         cache_registry = _ONESHOT_CACHES
     _release_registry(cache_registry)
+    mr = float(max_radius)
+    # chord-space seed for tree pruning (padded superset); the EXACT libm
+    # angle filters inside the kernels, so the pad only adds work and the
+    # phase-1 cnt/bound are computed over exactly the radius-admitted rows
+    chord_pad = (
+        float(np.sqrt(max(2.0 - 2.0 * np.cos(mr), 0.0)) * (1.0 + 1e-12) + 1e-15)
+        if np.isfinite(mr)
+        else float("inf")
+    )
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sign = canon_sign_sql()
     ccols = list(CCOLS)
@@ -690,8 +703,11 @@ def _so3_knn_on_index(
         tree = kernel.build(P)
         C4 = left[ccols].to_numpy(np.float64)
         QP = C4 * left["sgn"].to_numpy(np.float64)[:, None]
-        qi, idx, eu = kernel.knn(tree, QP, k, tie_key=tie)
+        qi, idx, eu = kernel.knn(tree, QP, k, tie_key=tie, max_radius=chord_pad)
         ang = _angular_np(QP[qi], P[idx])
+        if np.isfinite(mr):
+            keep = ang <= mr  # exact libm cut; chord pad only added work
+            qi, idx, ang, eu = qi[keep], idx[keep], ang[keep], eu[keep]
         return pd.DataFrame(
             {
                 "query_id": left["query_id"].to_numpy()[qi],
@@ -727,9 +743,11 @@ def _so3_knn_on_index(
         .filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
         .select(
             "query_id", *ccols,
-            F.when(F.col("cnt") >= k, F.col("eumax"))
-            .otherwise(F.lit(float("inf")))
-            .alias("bound"),
+            F.least(
+                F.when(F.col("cnt") >= k, F.col("eumax"))
+                .otherwise(F.lit(float("inf"))),
+                F.lit(chord_pad),
+            ).alias("bound"),
         )
     )
     occ = leaf_salts.select("key").distinct()
@@ -737,8 +755,29 @@ def _so3_knn_on_index(
     absent = (
         qk.join(F.broadcast(occ.withColumnRenamed("key", "kp")), "kp", "left_anti")
         .join(F.broadcast(occ.withColumnRenamed("key", "kn")), "kn", "left_anti")
-        .select("query_id", *ccols, F.lit(float("inf")).alias("bound"))
+        .select("query_id", *ccols, F.lit(chord_pad).alias("bound"))
     )
+    if np.isfinite(mr):
+        # with a finite radius a query can ALSO vanish from p1 because all
+        # home-partition poses are out of radius — recover every query with
+        # at least one OCCUPIED home (either probe) that produced no p1 row
+        either = (
+            qk.join(F.broadcast(occ.withColumnRenamed("key", "kp")), "kp", "left_semi")
+            .unionByName(
+                qk.join(
+                    F.broadcast(occ.withColumnRenamed("key", "kn")), "kn", "left_semi"
+                )
+            )
+            .distinct()
+        )
+        emptied = (
+            either.join(
+                F.broadcast(p1_topk.select("query_id").distinct()),
+                "query_id", "left_anti",
+            )
+            .select("query_id", *ccols, F.lit(chord_pad).alias("bound"))
+        )
+        absent = absent.unionByName(emptied)
     # home pids (-1 when unoccupied) + leaf keys (level decides edge width)
     q_b = (
         bound_rows.unionByName(absent)
@@ -845,8 +884,11 @@ def _so3_knn_on_index(
         tie[np.argsort(ids)] = np.arange(len(ids))
         tree = kernel.build(P)
         QP = left[["pw", "px", "py", "pz"]].to_numpy(np.float64)
-        qi, idx, _ = kernel.knn(tree, QP, k, tie_key=tie)
+        qi, idx, _ = kernel.knn(tree, QP, k, tie_key=tie, max_radius=chord_pad)
         ang = _angular_np(QP[qi], P[idx])
+        if np.isfinite(mr):
+            keep = ang <= mr
+            qi, idx, ang = qi[keep], idx[keep], ang[keep]
         return pd.DataFrame(
             {
                 "query_id": left["query_id"].to_numpy()[qi],

@@ -242,3 +242,40 @@ def test_so3_radius_join_vs_brute_force(spark, pose_data):
     assert len(res) == len(want) > 0
     assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
     assert np.allclose(res["ang"].to_numpy(), want["d"].to_numpy(), atol=1e-12)
+
+
+def test_so3_knn_bounded_radius_vs_brute_force(spark, pose_data):
+    """Bounded kNN on the rotation space (reference Q2 maxRadius applied
+    to SO3): neighbors beyond the angular radius are excluded, ranks stay
+    consecutive, results match brute force."""
+    poses, queries, ppdf, qpdf = pose_data
+    k, r = 6, 0.35
+    q40 = queries.limit(40)
+    res = (
+        so3engine.so3_knn_join(
+            spark, poses, q40, k=k, n_poses_hint=len(ppdf), max_radius=r
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    qpdf40 = q40.toPandas()
+    P = ppdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    Q = qpdf40[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    D = _angular_matrix(Q, P)
+    rows = []
+    pids = ppdf["pose_id"].to_numpy()
+    for i, qid in enumerate(qpdf40["query_id"]):
+        srt = np.lexsort((pids, D[i]))
+        rank = 0
+        for j in srt:
+            if D[i, j] > r:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            rows.append((qid, pids[j], D[i, j], rank))
+    want = pd.DataFrame(rows, columns=["query_id", "pose_id", "d", "rank"]) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(res) == len(want) > 0
+    assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert (res["rank"].to_numpy() == want["rank"].to_numpy()).all()
+    assert np.allclose(res["ang"].to_numpy(), want["d"].to_numpy(), atol=1e-12)
