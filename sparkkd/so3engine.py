@@ -585,6 +585,25 @@ class So3Index:
             max_radius=max_radius, cache_registry=self._caches,
         )
 
+
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage metrics (north_rule: cell id, row counts,
+        bounds per partition) — driver-side from the layout, no Spark job:
+        (pid, n_leaves, n_rows, salt_n, per-dim bbox)."""
+        lay = self.layout
+        d = lay.p_lo.shape[1]
+        pdf = pd.DataFrame(
+            {
+                "pid": np.arange(lay.n_partitions, dtype=np.int64),
+                "n_leaves": np.diff(lay.p_start).astype(np.int64),
+                "n_rows": lay.p_counts,
+                "salt_n": lay.p_salt_n,
+                **{f"lo_{j}": lay.p_lo[:, j] for j in range(d)},
+                **{f"hi_{j}": lay.p_hi[:, j] for j in range(d)},
+            }
+        )
+        return self.spark.createDataFrame(pdf)
+
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
         return _so3_radius_on_index(
             self.spark, self.corpus, self.layout, queries, r
@@ -1104,6 +1123,25 @@ class Se3Index:
             rot_weight, trans_weight, self.b3, self.leaf_expr,
             cache_registry=self._caches,
         )
+
+
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage metrics (north_rule: cell id, row counts,
+        bounds per partition) — driver-side from the layout, no Spark job:
+        (pid, n_leaves, n_rows, salt_n, per-dim bbox)."""
+        lay = self.layout
+        d = lay.p_lo.shape[1]
+        pdf = pd.DataFrame(
+            {
+                "pid": np.arange(lay.n_partitions, dtype=np.int64),
+                "n_leaves": np.diff(lay.p_start).astype(np.int64),
+                "n_rows": lay.p_counts,
+                "salt_n": lay.p_salt_n,
+                **{f"lo_{j}": lay.p_lo[:, j] for j in range(d)},
+                **{f"hi_{j}": lay.p_hi[:, j] for j in range(d)},
+            }
+        )
+        return self.spark.createDataFrame(pdf)
 
     def unpersist(self) -> None:
         _release_registry(self._caches)

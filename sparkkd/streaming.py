@@ -95,6 +95,10 @@ def stream_ingest(
 
 
 QUERY_SCHEMA = "query_id string, qlat double, qlon double"
+POSE_QUERY_SCHEMA = (
+    "query_id string, qw double, qx double, qy double, qz double,"
+    " tx double, ty double, tz double"
+)
 
 
 def stream_knn_enrich(
@@ -121,6 +125,37 @@ def stream_knn_enrich(
 
     return (
         spark.readStream.schema(QUERY_SCHEMA)
+        .parquet(query_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
+def stream_pose_enrich(
+    spark: SparkSession,
+    query_dir: str,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+):
+    """Streaming angular kNN enrichment over the ROTATION space: pose
+    micro-batches answered against a prebuilt So3Index (or Se3Index) —
+    identical contract to stream_knn_enrich, same exactly-once-per-epoch
+    semantics; only the input schema differs (pose quaternions +
+    translations)."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index.knn_join(batch, k=k).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    return (
+        spark.readStream.schema(POSE_QUERY_SCHEMA)
         .parquet(query_dir)
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)

@@ -279,3 +279,48 @@ def test_so3_knn_bounded_radius_vs_brute_force(spark, pose_data):
     assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
     assert (res["rank"].to_numpy() == want["rank"].to_numpy()).all()
     assert np.allclose(res["ang"].to_numpy(), want["d"].to_numpy(), atol=1e-12)
+
+
+def test_so3_index_lineage_and_stream_enrich(spark, pose_data, tmp_path):
+    """Per-partition lineage totals reconcile with the corpus; streaming
+    pose enrichment over a prebuilt So3Index reconciles with the batch
+    join (exactly-once per epoch)."""
+    import time
+
+    from sparkkd import streaming
+
+    poses, queries, ppdf, _ = pose_data
+    idx = so3engine.So3Index(spark, poses, n_poses_hint=len(ppdf))
+    lin = idx.lineage().toPandas()
+    assert lin["n_rows"].sum() == len(ppdf)
+    assert (lin["salt_n"] >= 1).all()
+
+    qdir = tmp_path / "qstream"
+    qdir.mkdir()
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    batch_q = queries.limit(50)
+    batch_q.toPandas().to_parquet(qdir / "b0.parquet")
+    q = streaming.stream_pose_enrich(
+        spark, str(qdir), idx, str(out), str(ck), k=4
+    )
+    try:
+        deadline = time.time() + 60
+        done = False
+        while time.time() < deadline and not done:
+            q.processAllAvailable()
+            done = any(out.glob("epoch=*/_SUCCESS")) or any(out.glob("epoch=*/*.parquet"))
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = (
+        spark.read.parquet(str(out / "epoch=*"))
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        idx.knn_join(batch_q, k=4)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (got["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert np.array_equal(got["ang"].to_numpy(), want["ang"].to_numpy())
+    idx.unpersist()
