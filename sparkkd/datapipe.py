@@ -1042,6 +1042,73 @@ def ann_ivf_topk(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair table — the dedup-GROUPS step a
+    training pipeline runs after any near-dup detector (each component
+    keeps one representative: its minimum id).  Returns (id, component)
+    for every id appearing in a pair.
+
+    HashMin label propagation (the standard Pregel-style CC): every node
+    starts labeled with its own id and repeatedly takes the min of its
+    neighbors' labels until a fixpoint; each iteration is one equi-join +
+    groupBy (no cross joins), and the result is DETERMINISTIC (min ids)
+    regardless of iteration count once converged, so the driver-side
+    convergence check makes it exact.  Rounds needed = component diameter
+    — near-dup clusters are shallow; web-scale graphs with long chains
+    would swap in the alternating small-star/large-star variant with the
+    same per-round plan shape."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # localCheckpoint TRUNCATES lineage — without it each iteration embeds
+    # the full upstream plan again and the logical plan grows geometrically
+    # (classic iterative-algorithm pitfall; measured: driver OOM on the
+    # plan STRING before any data moved)
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+            .withColumnRenamed("a", "id")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
 # ------------------------------------------------------------- text stats
 
 

@@ -343,3 +343,30 @@ def test_ann_ivf_deterministic_across_partitioning(spark):
         .toPandas().sort_values(key).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_connected_components_known_graphs(spark):
+    """Chains (worst-case diameter for HashMin), stars, singleton pairs,
+    and a cycle — components must be exact min-id labels."""
+    edges = (
+        [(i, i + 1) for i in range(0, 9)]          # chain 0..9
+        + [(100, j) for j in (101, 102, 103)]      # star at 100
+        + [(200, 201)]                             # isolated pair
+        + [(300, 301), (301, 302), (302, 300)]     # cycle
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    )
+    got = (
+        datapipe.connected_components(pairs)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    want = {}
+    for i in range(10):
+        want[i] = 0
+    for j in (100, 101, 102, 103):
+        want[j] = 100
+    want[200] = want[201] = 200
+    for j in (300, 301, 302):
+        want[j] = 300
+    assert dict(zip(got["id"], got["component"])) == want
