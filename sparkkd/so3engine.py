@@ -1143,9 +1143,165 @@ class Se3Index:
         )
         return self.spark.createDataFrame(pdf)
 
+    def radius_join(
+        self,
+        queries: DataFrame,
+        r: float,
+        rot_weight: float = 1.0,
+        trans_weight: float = 1.0,
+    ) -> DataFrame:
+        return _se3_radius_on_index(
+            self.spark, self.corpus, self.layout, queries, r,
+            rot_weight, trans_weight,
+        )
+
     def unpersist(self) -> None:
         _release_registry(self._caches)
         self.corpus.unpersist()
+
+
+def se3_radius_join(
+    spark: SparkSession,
+    poses: DataFrame,
+    queries: DataFrame,
+    r: float,
+    rot_weight: float = 1.0,
+    trans_weight: float = 1.0,
+    level: int | None = None,
+    max_cell_rows: int = 16384,
+    n_poses_hint: int | None = None,
+) -> DataFrame:
+    """All (query, pose) pairs within compound distance
+    ``rot_weight * arccos(|q.p|) + trans_weight * ||t_q - t_p|| <= r`` —
+    reference Q3 on the compound space (radius seeding
+    ``src/_kdtree_median.hpp:131-137`` over ``src/_compoundspace.hpp``).
+    Returns (query_id, pose_id, dist).
+
+    Pruning: rotation contributes >= 0, so any admitted pose satisfies
+    ``trans_weight * ||dt|| <= r`` — partition admission and the
+    per-partition kernel both run on the translation bound alone (padded;
+    with trans_weight == 0 everything is admitted — correct, dense), and
+    the EXACT libm compound distance makes the final cut.  One-shot
+    convenience over :class:`Se3Index.radius_join`."""
+    if level is None:
+        n = n_poses_hint if n_poses_hint is not None else poses.count()
+        level = level_for_poses(n, dims=3)
+    b = poses.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
+        *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
+    ).first()
+    bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
+    b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in bounds]
+    layout = build_layout(poses, list(TCOLS), b3, list(TCOLS), 3, level, max_cell_rows)
+    leaf_expr = leaf_key_sql(list(TCOLS), b3, layout)
+    corpus = _salted(poses, spark, layout, leaf_expr, "pose_id").select(
+        "pose_id", *QCOLS, *TCOLS, "part_key"
+    )
+    return _se3_radius_on_index(
+        spark, corpus, layout, queries, r, rot_weight, trans_weight
+    )
+
+
+def _se3_radius_on_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    layout: PoseLayout,
+    queries: DataFrame,
+    r: float,
+    rot_weight: float,
+    trans_weight: float,
+) -> DataFrame:
+    rw, tw = float(rot_weight), float(trans_weight)
+    r = float(r)
+    # translation-space admission radius (padded superset; exact compound
+    # distance decides below)
+    t_r = (r / tw) * (1.0 + 1e-12) + 1e-15 if tw > 0 else float("inf")
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pid_salts = _pid_salts(spark, layout)
+    q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
+
+    bc = spark.sparkContext.broadcast(
+        (layout.leaf_lo, layout.leaf_hi, layout.p_lo, layout.p_hi, layout.p_start)
+    )
+
+    def gen(batches):
+        lo, hi, p_lo, p_hi, p_start = bc.value
+        la = (lo, hi, p_lo, p_hi, p_start)
+        for pdf in batches:
+            if len(pdf) == 0 or len(lo) == 0:
+                continue
+            T = pdf[list(TCOLS)].to_numpy(np.float64)
+            chunk = max(256, 8_000_000 // max(len(lo), 1))
+            for c0 in range(0, len(pdf), chunk):
+                sl = slice(c0, min(c0 + chunk, len(pdf)))
+                P3 = T[sl]
+                b = np.full(len(P3), t_r)
+                qi, pid = _partition_candidates(P3, b, la)
+                if len(qi) == 0:
+                    continue
+                out = pdf.iloc[np.asarray(qi) + c0][
+                    ["query_id", *QCOLS, *TCOLS]
+                ].copy()
+                out["pid"] = pid
+                yield out
+
+    cand = q.mapInPandas(
+        gen,
+        schema="query_id string, "
+        + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
+        + ", pid long",
+    ).join(pid_salts, "pid").drop("pid")
+    probe_keys = F.broadcast(cand.select("part_key").distinct())
+    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+
+    def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "pose_id": [], "dist": []})
+        QR = left[list(QCOLS)].to_numpy(np.float64)
+        QT = left[list(TCOLS)].to_numpy(np.float64)
+        PR = right[list(QCOLS)].to_numpy(np.float64)
+        PT = right[list(TCOLS)].to_numpy(np.float64)
+        ids = right["pose_id"].to_numpy()
+        pr_q = PR
+        if np.isfinite(t_r):
+            tree = kernel.build(PT)
+            qi, idx, et = kernel.radius(tree, QT, t_r)
+            a = QR[qi]
+            bq = pr_q[idx]
+        else:  # tw == 0: dense scan (rotation-only metric has no index)
+            nq, npts = len(QT), len(PT)
+            qi = np.repeat(np.arange(nq), npts)
+            idx = np.tile(np.arange(npts), nq)
+            d = QT[qi] - PT[idx]
+            et = np.sqrt((d * d).sum(axis=1))
+            a = QR[qi]
+            bq = pr_q[idx]
+        # oracle-exact compound: left-assoc dot, libm acos
+        dot = a[:, 0] * bq[:, 0]
+        dot = dot + a[:, 1] * bq[:, 1]
+        dot = dot + a[:, 2] * bq[:, 2]
+        dot = dot + a[:, 3] * bq[:, 3]
+        ldot = np.minimum(1.0, np.abs(dot))
+        dist = rw * acos_exact(ldot) + tw * et
+        keep = dist <= r
+        return pd.DataFrame(
+            {
+                "query_id": left["query_id"].to_numpy()[qi][keep],
+                "pose_id": ids[idx][keep],
+                "dist": dist[keep],
+            }
+        )
+
+    hits = (
+        cand.groupby("part_key")
+        .cogroup(corp_probe.groupby("part_key"))
+        .applyInPandas(
+            radius_group, schema="query_id string, pose_id string, dist double"
+        )
+    )
+    # a pose lives in exactly one partition and queries emit one row per
+    # admitted partition — no dedupe needed
+    return hits
 
 
 def se3_knn_join(

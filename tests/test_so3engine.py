@@ -324,3 +324,33 @@ def test_so3_index_lineage_and_stream_enrich(spark, pose_data, tmp_path):
     assert (got["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
     assert np.array_equal(got["ang"].to_numpy(), want["ang"].to_numpy())
     idx.unpersist()
+
+
+def test_se3_radius_join_vs_brute_force(spark, pose_data):
+    poses, queries, ppdf, qpdf = pose_data
+    rw, tw, r = 2.0, 0.5, 1.2
+    res = (
+        so3engine.se3_radius_join(
+            spark, poses, queries, r=r, rot_weight=rw, trans_weight=tw,
+            n_poses_hint=len(ppdf),
+        )
+        .toPandas().sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+    )
+    P = ppdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    PT = ppdf[["tx", "ty", "tz"]].to_numpy(np.float64)
+    Q = qpdf[["qw", "qx", "qy", "qz"]].to_numpy(np.float64)
+    QT = qpdf[["tx", "ty", "tz"]].to_numpy(np.float64)
+    D = rw * _angular_matrix(Q, P) + tw * np.sqrt(
+        ((QT[:, None, :] - PT[None, :, :]) ** 2).sum(axis=2)
+    )
+    qi, pi = np.nonzero(D <= r)
+    want = pd.DataFrame(
+        {
+            "query_id": qpdf["query_id"].to_numpy()[qi],
+            "pose_id": ppdf["pose_id"].to_numpy()[pi],
+            "d": D[qi, pi],
+        }
+    ).sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+    assert len(res) == len(want) > 0
+    assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
+    assert np.allclose(res["dist"].to_numpy(), want["d"].to_numpy(), atol=1e-9)
