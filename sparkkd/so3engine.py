@@ -191,6 +191,14 @@ class PoseLayout:
     level: int  # base grid level
     refine_level: int | None
     hot_fine: np.ndarray  # base cells that were refined
+    # optional EXTRA per-leaf statistics bboxes over non-grid columns
+    # (SE(3): canonicalized rotation coefficients — the reference's
+    # compound distToRegion sums per-sub-space bounds,
+    # src/_spaces.hpp:369-375, src/_compoundspace.hpp:60-88)
+    leaf_slo: np.ndarray | None = None  # (C, ds)
+    leaf_shi: np.ndarray | None = None
+    p_slo: np.ndarray | None = None  # (P, ds) union over member leaves
+    p_shi: np.ndarray | None = None
 
     @property
     def n_partitions(self) -> int:
@@ -224,12 +232,21 @@ def build_layout(
     dims: int,
     level: int,
     max_cell_rows: int,
+    stat_cols: list[str] | None = None,
 ) -> PoseLayout:
     """One base stats pass; a second pass scoped to hot base cells refines
     them REFINE_STEP levels deeper (the geo engine's hot-cell refinement,
-    d-generic); driver-side bin-packing builds the partitions."""
+    d-generic); driver-side bin-packing builds the partitions.
+
+    stat_cols: extra columns whose per-leaf min/max are carried as
+    side statistics (leaf_slo/leaf_shi) without participating in the
+    grid — SE(3) passes the canonicalized rotation coefficients here so
+    admission can sum per-sub-space lower bounds (reference compound
+    distToRegion, ``src/_compoundspace.hpp:60-88``)."""
+    all_cols = list(dim_cols) + list(stat_cols or [])
+    nd = len(dim_cols)
     base_expr = grid_cell_sql(exprs, bounds, level)
-    k1, c1, lo1, hi1 = _collect_cell_stats(df, base_expr, dim_cols)
+    k1, c1, lo1, hi1 = _collect_cell_stats(df, base_expr, all_cols)
     hot_mask = c1 > max_cell_rows
     refine_level = None
     hot_fine = np.empty(0, np.int64)
@@ -239,7 +256,7 @@ def build_layout(
         hot_list = ", ".join(str(int(c)) for c in hot_fine)
         scoped = df.filter(F.expr(f"({base_expr}) IN ({hot_list})"))
         k2, c2, lo2, hi2 = _collect_cell_stats(
-            scoped, grid_cell_sql(exprs, bounds, refine_level), dim_cols
+            scoped, grid_cell_sql(exprs, bounds, refine_level), all_cols
         )
         keep = ~hot_mask
         leaf_keys = np.concatenate(
@@ -289,6 +306,12 @@ def build_layout(
     p_salt_n = np.clip(
         -(-p_counts // max_cell_rows), 1, 1 << SALT_BITS
     ).astype(np.int64)
+    leaf_slo = leaf_shi = p_slo = p_shi = None
+    if stat_cols:
+        leaf_slo, leaf_shi = leaf_lo[:, nd:], leaf_hi[:, nd:]
+        p_slo, p_shi = p_lo[:, nd:], p_hi[:, nd:]
+        leaf_lo, leaf_hi = leaf_lo[:, :nd], leaf_hi[:, :nd]
+        p_lo, p_hi = p_lo[:, :nd], p_hi[:, :nd]
     return PoseLayout(
         leaf_keys=leaf_keys,
         leaf_counts=leaf_counts,
@@ -303,6 +326,10 @@ def build_layout(
         level=level,
         refine_level=refine_level,
         hot_fine=hot_fine,
+        leaf_slo=leaf_slo,
+        leaf_shi=leaf_shi,
+        p_slo=p_slo,
+        p_shi=p_shi,
     )
 
 
@@ -468,6 +495,77 @@ def _partition_candidates(
         rows_p = np.nonzero(adm[:, p])[0]
         s, e = p_start[p], p_start[p + 1]
         dmin = scale * _bbox_min_dist(P[rows_p], leaf_lo[s:e], leaf_hi[s:e])
+        ok = (dmin <= bound[rows_p][:, None]).any(axis=1)
+        sel = rows_p[ok]
+        if len(sel) > 0:
+            out_qi.append(sel)
+            out_pid.append(np.full(len(sel), p, np.int64))
+    if not out_qi:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(out_qi), np.concatenate(out_pid)
+
+
+def _rot_lb(R: np.ndarray, rlo: np.ndarray, rhi: np.ndarray) -> np.ndarray:
+    """(Q, C) LOWER bounds on the angular distance arccos(|q.p|) from
+    canonicalized query quaternions R (Q, 4) to any canonicalized unit
+    quaternion inside boxes (rlo, rhi).
+
+    For unit quaternions ang = 2*arcsin(cmin/2) with
+    cmin = min(|q - p|, |q + p|); the Euclidean distance from q (and from
+    -q) to the box is a contraction of the member distances, so
+    cl = min(d(q, box), d(-q, box)) <= cmin and the arcsin map (monotone)
+    gives a true angular lower bound.  Shrunk by a relative margin so SIMD
+    arcsin ulps can never overshoot the exact libm value."""
+    cl = np.minimum(_bbox_min_dist(R, rlo, rhi), _bbox_min_dist(-R, rlo, rhi))
+    lb = 2.0 * np.arcsin(np.clip(cl * 0.5, 0.0, 1.0))
+    return np.maximum(lb * (1.0 - 1e-12) - 1e-15, 0.0)
+
+
+def _rot_ub(R: np.ndarray, rlo: np.ndarray, rhi: np.ndarray) -> np.ndarray:
+    """(Q, C) UPPER bounds on the angular distance to the FARTHEST point
+    of each box: cmin <= min over signs of the max box-corner distance,
+    and ang <= pi/2 always.  Padded up by a relative margin."""
+    _, dmax_p = _bbox_min_max_dist(R, rlo, rhi)
+    _, dmax_n = _bbox_min_max_dist(-R, rlo, rhi)
+    cm = np.minimum(dmax_p, dmax_n)
+    ub = 2.0 * np.arcsin(np.clip(cm * 0.5, 0.0, 1.0))
+    return np.minimum(ub * (1.0 + 1e-12) + 1e-15, np.pi / 2.0)
+
+
+def _se3_partition_candidates(
+    T: np.ndarray,
+    R: np.ndarray,
+    bound: np.ndarray,
+    layout_arrays,
+    tw: float,
+    rw: float,
+    home_pid: np.ndarray | None = None,
+):
+    """Compound-space twin of :func:`_partition_candidates`: admit a
+    (query, partition) pair when the SUM of per-sub-space lower bounds
+    ``tw * dist_trans(bbox) + rw * rot_lb(rot bbox)`` passes at the
+    partition level AND at >= 1 member leaf (reference compound
+    distToRegion = sum of sub-space bounds, ``src/_spaces.hpp:369-375``,
+    ``src/_compoundspace.hpp:60-88``).  R must be canonicalized; when the
+    layout carries no rotation statistics the rotation term is 0 and this
+    degrades to the round-3 translation-only bound."""
+    (leaf_lo, leaf_hi, leaf_rlo, leaf_rhi,
+     p_lo, p_hi, p_rlo, p_rhi, p_start) = layout_arrays
+    dmin_p = tw * _bbox_min_dist(T, p_lo, p_hi)
+    if rw > 0.0 and p_rlo is not None:
+        dmin_p = dmin_p + rw * _rot_lb(R, p_rlo, p_rhi)
+    adm = dmin_p <= bound[:, None]
+    if home_pid is not None:
+        adm &= np.arange(len(p_lo))[None, :] != home_pid[:, None]
+    out_qi: list[np.ndarray] = []
+    out_pid: list[np.ndarray] = []
+    for p in np.nonzero(adm.any(axis=0))[0]:
+        rows_p = np.nonzero(adm[:, p])[0]
+        s, e = p_start[p], p_start[p + 1]
+        dmin = tw * _bbox_min_dist(T[rows_p], leaf_lo[s:e], leaf_hi[s:e])
+        if rw > 0.0 and leaf_rlo is not None:
+            dmin = dmin + rw * _rot_lb(R[rows_p], leaf_rlo[s:e], leaf_rhi[s:e])
         ok = (dmin <= bound[rows_p][:, None]).any(axis=1)
         sel = rows_p[ok]
         if len(sel) > 0:
@@ -727,6 +825,26 @@ def _so3_knn_on_index(
         if np.isfinite(mr):
             keep = ang <= mr  # exact libm cut; chord pad only added work
             qi, idx, ang, eu = qi[keep], idx[keep], ang[keep], eu[keep]
+        # DEDUPE (query, pose): when BOTH antipodal probes of a query land
+        # in this partition (reachable at qw == ±0.0 — the canonical cell
+        # of -0.0 equals +0.0's — or any tiny corpus packed into one
+        # partition), the same pose appears once per probe.  Without this,
+        # rank/cnt/eumax downstream count duplicates: the top-k window
+        # could keep a duplicate and drop the true kth neighbor, and the
+        # phase-2 bound could undershoot the kth-DISTINCT distance and
+        # prune partitions holding true neighbors.  Keep the min-eu row —
+        # min(|q-p|, |q+p|) is exactly chord(ang), so the kept eu stays a
+        # true upper bound per pose and eumax a true kth bound.  ang is
+        # bit-identical across probes (|dot(±q, p)| is sign-exact in IEEE).
+        if len(qi) > 0:
+            qcode = pd.factorize(left["query_id"], sort=False)[0]
+            pairk = qcode[qi].astype(np.int64) * np.int64(len(ids)) + idx
+            o = np.lexsort((eu, pairk))
+            ks = pairk[o]
+            firsts = np.ones(len(o), dtype=bool)
+            firsts[1:] = ks[1:] != ks[:-1]
+            sel = np.sort(o[firsts])
+            qi, idx, ang, eu = qi[sel], idx[sel], ang[sel], eu[sel]
         return pd.DataFrame(
             {
                 "query_id": left["query_id"].to_numpy()[qi],
@@ -1068,6 +1186,22 @@ def _so3_radius_on_index(
 # ------------------------------------------------------------ SE(3) join
 
 
+def _se3_layout(poses, b3, level, max_cell_rows):
+    """Translation-grid layout carrying per-leaf CANONICAL-rotation bboxes
+    as side statistics (stat_cols), so SE(3) admission can sum the
+    per-sub-space lower bounds (reference compound distToRegion,
+    ``src/_compoundspace.hpp:60-88``) instead of the round-3
+    translation-only bound."""
+    sign = canon_sign_sql()
+    pc = poses.select(
+        "*", *[(F.expr(f"{sign} * {c}")).alias(f"c{c[1]}") for c in QCOLS]
+    )
+    return build_layout(
+        pc, list(TCOLS), b3, list(TCOLS), 3, level, max_cell_rows,
+        stat_cols=list(CCOLS),
+    )
+
+
 class Se3Index:
     """Build-once / query-many SE(3) index: refinement-salted corpus
     persisted PRE-PARTITIONED on the translation-grid part_key (same
@@ -1096,9 +1230,7 @@ class Se3Index:
         ]
         b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in self.bounds]
         self.b3 = b3
-        self.layout = build_layout(
-            poses, list(TCOLS), b3, list(TCOLS), 3, level, max_cell_rows
-        )
+        self.layout = _se3_layout(poses, b3, level, max_cell_rows)
         self.leaf_expr = leaf_key_sql(list(TCOLS), b3, self.layout)
         self.corpus = (
             _salted(poses, spark, self.layout, self.leaf_expr, "pose_id")
@@ -1192,7 +1324,7 @@ def se3_radius_join(
     ).first()
     bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
     b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in bounds]
-    layout = build_layout(poses, list(TCOLS), b3, list(TCOLS), 3, level, max_cell_rows)
+    layout = _se3_layout(poses, b3, level, max_cell_rows)
     leaf_expr = leaf_key_sql(list(TCOLS), b3, layout)
     corpus = _salted(poses, spark, layout, leaf_expr, "pose_id").select(
         "pose_id", *QCOLS, *TCOLS, "part_key"
@@ -1220,23 +1352,37 @@ def _se3_radius_on_index(
     pid_salts = _pid_salts(spark, layout)
     q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
 
+    # compound-space admission radius (padded superset; exact libm
+    # compound distance decides below)
+    r_pad = r * (1.0 + 1e-12) + 1e-15
     bc = spark.sparkContext.broadcast(
-        (layout.leaf_lo, layout.leaf_hi, layout.p_lo, layout.p_hi, layout.p_start)
+        (
+            layout.leaf_lo, layout.leaf_hi, layout.leaf_slo, layout.leaf_shi,
+            layout.p_lo, layout.p_hi, layout.p_slo, layout.p_shi,
+            layout.p_start,
+        )
     )
 
     def gen(batches):
-        lo, hi, p_lo, p_hi, p_start = bc.value
-        la = (lo, hi, p_lo, p_hi, p_start)
+        la = bc.value
+        lo = la[0]
         for pdf in batches:
             if len(pdf) == 0 or len(lo) == 0:
                 continue
             T = pdf[list(TCOLS)].to_numpy(np.float64)
+            QR = pdf[list(QCOLS)].to_numpy(np.float64)
+            QR = QR * canon_sign_np(QR)[:, None]
             chunk = max(256, 8_000_000 // max(len(lo), 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P3 = T[sl]
-                b = np.full(len(P3), t_r)
-                qi, pid = _partition_candidates(P3, b, la)
+                b = np.full(len(P3), r_pad)
+                # rotation-aware admission: tw*d_trans_lb + rw*d_rot_lb <= r
+                # (round-3 was translation-only — rotation-dominant weights
+                # degraded it toward admit-everything)
+                qi, pid = _se3_partition_candidates(
+                    P3, QR[sl], b, la, tw, rw
+                )
                 if len(qi) == 0:
                     continue
                 out = pdf.iloc[np.asarray(qi) + c0][
@@ -1337,7 +1483,7 @@ def se3_knn_join(
     ).first()
     bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
     b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in bounds]
-    layout = build_layout(poses, list(TCOLS), b3, list(TCOLS), 3, level, max_cell_rows)
+    layout = _se3_layout(poses, b3, level, max_cell_rows)
     leaf_expr = leaf_key_sql(list(TCOLS), b3, layout)
     corpus = _salted(poses, spark, layout, leaf_expr, "pose_id").select(
         "pose_id", *QCOLS, *TCOLS, "part_key"
@@ -1464,20 +1610,25 @@ def _se3_knn_on_index(
     bc = spark.sparkContext.broadcast(
         (
             layout.leaf_counts, layout.leaf_lo, layout.leaf_hi,
-            layout.p_lo, layout.p_hi, layout.p_start,
+            layout.leaf_slo, layout.leaf_shi,
+            layout.p_lo, layout.p_hi, layout.p_slo, layout.p_shi,
+            layout.p_start,
         )
     )
     vmin_a = np.array([lo for lo, _ in b3])
     vspan_a = np.array([span for _, span in b3])
 
     def gen(batches):
-        counts, lo, hi, p_lo, p_hi, p_start = bc.value
+        (counts, lo, hi, slo, shi,
+         p_lo, p_hi, p_slo, p_shi, p_start) = bc.value
         C = len(counts)
-        la = (lo, hi, p_lo, p_hi, p_start)
+        la = (lo, hi, slo, shi, p_lo, p_hi, p_slo, p_shi, p_start)
         for pdf in batches:
             if len(pdf) == 0 or C == 0:
                 continue
             T = pdf[list(TCOLS)].to_numpy(np.float64)
+            QR = pdf[list(QCOLS)].to_numpy(np.float64)
+            QR = QR * canon_sign_np(QR)[:, None]
             given = pdf["bound"].to_numpy(np.float64)
             home = pdf["home_pid"].to_numpy(np.int64)
             hk = pdf["hk"].to_numpy(np.int64)
@@ -1489,10 +1640,15 @@ def _se3_knn_on_index(
                 b = given[sl].copy()
                 nb = np.nonzero(~np.isfinite(b))[0]
                 if len(nb) > 0:
-                    # fallback count-bound: compound upper bound inflated
-                    # by the angular diameter (home had < k poses)
+                    # fallback count-bound: compound upper bound — the
+                    # rotation term from the leaf rotation bboxes when the
+                    # layout carries them, else the angular diameter
+                    # (home had < k poses)
                     dmin, dmax = _bbox_min_max_dist(P3[nb], lo, hi)
-                    ub = tw * dmax + rot_diam
+                    if rw > 0.0 and slo is not None:
+                        ub = tw * dmax + rw * _rot_ub(QR[sl][nb], slo, shi)
+                    else:
+                        ub = tw * dmax + rot_diam
                     order = np.argsort(ub, axis=1, kind="stable")
                     cum = np.cumsum(counts[order], axis=1)
                     need = np.argmax(cum >= k, axis=1)
@@ -1511,8 +1667,9 @@ def _se3_knn_on_index(
                 rows = np.nonzero(alive)[0]
                 if len(rows) == 0:
                     continue
-                qi, pid = _partition_candidates(
-                    P3[rows], b[rows], la, home_pid=home[sl][rows], scale=tw
+                qi, pid = _se3_partition_candidates(
+                    P3[rows], QR[sl][rows], b[rows], la, tw, rw,
+                    home_pid=home[sl][rows],
                 )
                 if len(qi) == 0:
                     continue

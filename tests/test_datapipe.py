@@ -321,11 +321,43 @@ def test_near_dup_plan_candidates_near_linear():
         np.minimum.at(lo[:, j], inv, X[:, j])
         np.maximum.at(hi[:, j], inv, X[:, j])
     counts = np.bincount(inv).astype(np.int64)
-    pairs, work, shuffle = datapipe._near_dup_plan(counts, lo, hi, r)
+    pairs, work, shuffle, admit_tested = datapipe._near_dup_plan(
+        counts, lo, hi, r
+    )
     ideal = float((np.bincount(cid).astype(np.float64) ** 2).sum())
     assert work < float(n) * float(n) / 20.0  # far from all-pairs
     assert work < 50.0 * ideal  # near the intra-cluster ideal
     assert shuffle < 20.0 * n  # bounded replication factor
+    # round-4: the exact bbox gap test runs only on sphere-admitted
+    # candidates — O(C * nbr) driver admission work, NOT the dense C^2
+    C = len(counts)
+    assert admit_tested < C * C / 10.0
+    assert admit_tested <= 40 * C  # ~avg sphere-neighbor degree bound
+
+
+def test_near_dup_plan_matches_dense_scan():
+    """The triangle pre-prune + exact gap test must admit the IDENTICAL
+    pair set as the old dense (C, C) scan — recall 1.0 is load-bearing
+    for the embedding_near_dup oracle row."""
+    rng = np.random.default_rng(13)
+    C, d = 300, 16
+    centers = rng.normal(size=(C, d))
+    half = 0.2 * np.abs(rng.normal(size=(C, d)))
+    lo, hi = centers - half, centers + half
+    counts = rng.integers(1, 50, C).astype(np.int64)
+    for r in (0.05, 0.5, 2.0, 10.0):
+        pairs, work, shuffle, _ = datapipe._near_dup_plan(counts, lo, hi, r)
+        # dense oracle (the round-3 implementation)
+        gap2 = np.zeros((C, C))
+        for j in range(d):
+            a = lo[:, j][None, :] - hi[:, j][:, None]
+            g = np.maximum(np.maximum(a, a.T), 0.0)
+            gap2 += g * g
+        iu, ju = np.nonzero(np.triu(np.sqrt(gap2) <= r))
+        ref = np.column_stack([iu, ju])
+        assert pairs.shape == ref.shape, r
+        assert (pairs == ref).all(), r
+        assert work == float((counts[iu] * counts[ju]).sum())
 
 
 def test_ann_ivf_deterministic_across_partitioning(spark):

@@ -137,3 +137,136 @@ def test_se3_point_mass_translations(spark):
         got = res[res["query_id"] == f"q{i:06d}"]
         assert list(got["pose_id"]) == list(pids[srt])
         assert np.allclose(got["dist"].to_numpy(), D[i][srt], atol=1e-9)
+
+
+def test_dual_probe_same_partition_dedupe(spark):
+    """Regression (round-4 ADVICE): queries with qw == 0.0 exactly send
+    BOTH antipodal probes into w-cell 0; with a tiny corpus every occupied
+    leaf bin-packs into one partition, so both probes cogroup against the
+    SAME partition and (with k close to the corpus size) their top-k lists
+    overlap — the same pose is returned once per probe.  Phase 1 must
+    dedupe (query, pose) before ranking or a duplicate inside the top-k
+    evicts the true kth neighbor and inflates cnt/eumax."""
+    rng = np.random.default_rng(41)
+    P = rng.normal(size=(10, 4))
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    Q = rng.normal(size=(8, 4))
+    Q[:, 0] = 0.0  # w exactly zero: +probe and -probe share the w cell
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    assert (Q[:, 0] == 0.0).all()
+    k = 8
+    res = (
+        so3engine.so3_knn_join(
+            spark, _pose_df(spark, P), _query_df(spark, Q), k=k,
+            n_poses_hint=len(P), level=1,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    D = _brute_ang(Q, P)
+    pids = np.array([f"pose{i:06d}" for i in range(len(P))])
+    for i in range(len(Q)):
+        srt = np.lexsort((pids, D[i]))[:k]
+        got = res[res["query_id"] == f"q{i:06d}"]
+        assert list(got["pose_id"]) == list(pids[srt]), f"query {i}"
+        assert got["pose_id"].is_unique
+        assert np.allclose(got["ang"].to_numpy(), D[i][srt], atol=1e-12)
+    # larger mixed corpus, same qw == 0 adversary, finite maxRadius
+    P2 = rng.normal(size=(400, 4))
+    P2 /= np.linalg.norm(P2, axis=1, keepdims=True)
+    res2 = (
+        so3engine.so3_knn_join(
+            spark, _pose_df(spark, P2), _query_df(spark, Q), k=5,
+            n_poses_hint=len(P2), level=1, max_radius=0.9,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    D2 = _brute_ang(Q, P2)
+    pids2 = np.array([f"pose{i:06d}" for i in range(len(P2))])
+    for i in range(len(Q)):
+        within = np.nonzero(D2[i] <= 0.9)[0]
+        srt = within[np.lexsort((pids2[within], D2[i][within]))][:5]
+        got = res2[res2["query_id"] == f"q{i:06d}"]
+        assert list(got["pose_id"]) == list(pids2[srt]), f"query {i}"
+
+
+def test_se3_rotation_aware_admission(spark):
+    """Round-4 (VERDICT #2): SE(3) admission must SUM the per-sub-space
+    lower bounds (reference compound distToRegion, _spaces.hpp:369-375) —
+    the round-3 translation-only bound r/tw degrades toward
+    admit-everything under rotation-dominant weights.  Corpus: rotation
+    clusters aligned with translation clusters; queries carry rotations
+    FAR from their local cluster, so the rotation term is what prunes."""
+    rng = np.random.default_rng(42)
+    n_c, per = 8, 400
+    tc = rng.uniform(0, 10, size=(n_c, 3))
+    rc = rng.normal(size=(n_c, 4))
+    rc /= np.linalg.norm(rc, axis=1, keepdims=True)
+    T, R = [], []
+    for c in range(n_c):
+        T.append(tc[c] + 0.05 * rng.normal(size=(per, 3)))
+        q = rc[c] + 0.02 * rng.normal(size=(per, 4))
+        R.append(q / np.linalg.norm(q, axis=1, keepdims=True))
+    T, R = np.vstack(T), np.vstack(R)
+    nq = 40
+    qT = tc[rng.integers(0, n_c, nq)] + 0.05 * rng.normal(size=(nq, 3))
+    # rotations near a (generally DIFFERENT) cluster's rotation: matches
+    # exist, but the local translation partition holds none — only the
+    # rotation term can prune it
+    bi = rng.integers(0, n_c, nq)
+    qR = rc[bi] + 0.05 * rng.normal(size=(nq, 4))
+    qR /= np.linalg.norm(qR, axis=1, keepdims=True)
+    poses = _pose_df(spark, R, T)
+    queries = _query_df(spark, qR, qT)
+    rw, tw, r = 5.0, 0.1, 2.0
+
+    res = (
+        so3engine.se3_radius_join(
+            spark, poses, queries, r, rot_weight=rw, trans_weight=tw,
+            n_poses_hint=len(T), max_cell_rows=256,
+        ).toPandas()
+    )
+    ang = _brute_ang(qR, R)
+    dt = np.sqrt(((qT[:, None, :] - T[None, :, :]) ** 2).sum(axis=2))
+    D = rw * ang + tw * dt
+    exp_pairs = {
+        (f"q{i:06d}", f"pose{j:06d}")
+        for i, j in zip(*np.nonzero(D <= r))
+    }
+    got_pairs = set(zip(res["query_id"], res["pose_id"]))
+    assert got_pairs == exp_pairs
+    assert len(exp_pairs) > 0  # non-degenerate fixture
+
+    # admission-count comparison on the SAME layout: compound vs the
+    # round-3 translation-only bound
+    b3 = [(float(T[:, j].min()), float(np.ptp(T[:, j]) or 1e-9)) for j in range(3)]
+    layout = so3engine._se3_layout(
+        poses, b3, so3engine.level_for_poses(len(T), dims=3), 256
+    )
+    qRc = qR * so3engine.canon_sign_np(qR)[:, None]
+    la9 = (
+        layout.leaf_lo, layout.leaf_hi, layout.leaf_slo, layout.leaf_shi,
+        layout.p_lo, layout.p_hi, layout.p_slo, layout.p_shi, layout.p_start,
+    )
+    r_pad = r * (1.0 + 1e-12) + 1e-15
+    qi_c, _ = so3engine._se3_partition_candidates(
+        qT, qRc, np.full(nq, r_pad), la9, tw, rw
+    )
+    la5 = (layout.leaf_lo, layout.leaf_hi, layout.p_lo, layout.p_hi, layout.p_start)
+    t_r = (r / tw) * (1.0 + 1e-12) + 1e-15
+    qi_t, _ = so3engine._partition_candidates(qT, np.full(nq, t_r), la5)
+    assert len(qi_c) < 0.5 * len(qi_t), (len(qi_c), len(qi_t))
+
+    # rot-dominant kNN exactness through the same rotation-aware gate
+    k = 4
+    resk = (
+        so3engine.se3_knn_join(
+            spark, poses, queries, k=k, rot_weight=rw, trans_weight=tw,
+            n_poses_hint=len(T), max_cell_rows=256,
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pids = np.array([f"pose{i:06d}" for i in range(len(T))])
+    for i in range(nq):
+        srt = np.lexsort((pids, D[i]))[:k]
+        got = resk[resk["query_id"] == f"q{i:06d}"]
+        assert list(got["pose_id"]) == list(pids[srt]), f"query {i}"
+        assert np.allclose(got["dist"].to_numpy(), D[i][srt], atol=1e-9)
