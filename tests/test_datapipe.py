@@ -402,3 +402,26 @@ def test_connected_components_known_graphs(spark):
     for j in (300, 301, 302):
         want[j] = 300
     assert dict(zip(got["id"], got["component"])) == want
+
+
+def test_ann_ivf_recall_row_fixture_and_bounds(spark, tmp_path):
+    """Round-4 (VERDICT #3): the IVF recall row runs off a PERSISTED
+    trained-centroid fixture — idempotent training, sane recall bounds,
+    and n_hit <= n_exact everywhere.  (Oracle bit-exactness vs DuckDB is
+    the driver's CORRECTNESS row; this covers the library surface.)"""
+    out = str(tmp_path / "ivf_centroids.parquet")
+    c1 = datapipe.ivf_centroid_fixture(f"{SF}/embeddings.parquet", out)
+    c2 = datapipe.ivf_centroid_fixture(f"{SF}/embeddings.parquet", out)
+    assert np.array_equal(c1, c2)  # read-back identical to trained
+    assert len(c1) >= 16
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = spark.read.parquet(out)
+    res = datapipe.ann_ivf_recall_at_k(emb, cent, k=10, n_probe=4).toPandas()
+    assert len(res) == emb.count()
+    assert (res["n_hit"] <= res["n_exact"]).all()
+    assert (res["recall_at_k"] >= 0).all() and (res["recall_at_k"] <= 1).all()
+    # probing more buckets can only add candidates: recall monotone
+    res8 = datapipe.ann_ivf_recall_at_k(emb, cent, k=10, n_probe=8).toPandas()
+    m = res.merge(res8, on="vec_id", suffixes=("_4", "_8"))
+    assert (m["n_hit_8"] >= m["n_hit_4"]).all()
+    assert res8["recall_at_k"].mean() > res["recall_at_k"].mean() - 1e-9
