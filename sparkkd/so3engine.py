@@ -570,6 +570,25 @@ def _rot_ub(R: np.ndarray, rlo: np.ndarray, rhi: np.ndarray) -> np.ndarray:
     return np.minimum(ub * (1.0 + 1e-12) + 1e-15, np.pi / 2.0)
 
 
+def _bbox_min_dist_pairs(
+    p: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    """(m,) min L2 distances for PAIRED points/boxes (all (m, d))."""
+    g = np.maximum(np.maximum(lo - p, p - hi), 0.0)
+    return np.sqrt((g * g).sum(axis=1))
+
+
+def _rot_lb_pairs(
+    R: np.ndarray, rlo: np.ndarray, rhi: np.ndarray
+) -> np.ndarray:
+    """Paired-row variant of :func:`_rot_lb` (all inputs (m, 4))."""
+    cl = np.minimum(
+        _bbox_min_dist_pairs(R, rlo, rhi), _bbox_min_dist_pairs(-R, rlo, rhi)
+    )
+    lb = 2.0 * np.arcsin(np.clip(cl * 0.5, 0.0, 1.0))
+    return np.maximum(lb * (1.0 - 1e-12) - 1e-15, 0.0)
+
+
 def _se3_partition_candidates(
     T: np.ndarray,
     R: np.ndarray,
@@ -584,27 +603,41 @@ def _se3_partition_candidates(
     ``tw * dist_trans(bbox) + rw * rot_lb(rot bbox)`` passes at the
     partition level AND at >= 1 member leaf (reference compound
     distToRegion = sum of sub-space bounds, ``src/_spaces.hpp:369-375``,
-    ``src/_compoundspace.hpp:60-88``).  R must be canonicalized; when the
-    layout carries no rotation statistics the rotation term is 0 and this
-    degrades to the round-3 translation-only bound."""
+    ``src/_compoundspace.hpp:60-88``).  R must be canonicalized.
+
+    The rotation term is evaluated LAZILY on translation-admitted pairs
+    only — a nonnegative extra term can only REMOVE admissions, so the
+    result is identical while corpora whose rotations span every cell
+    (rot_lb ~ 0 everywhere) pay near-zero extra admission cost.  When the
+    layout carries no rotation statistics this degrades to the round-3
+    translation-only bound."""
     (leaf_lo, leaf_hi, leaf_rlo, leaf_rhi,
      p_lo, p_hi, p_rlo, p_rhi, p_start) = layout_arrays
+    use_rot = rw > 0.0 and p_rlo is not None
     dmin_p = tw * _bbox_min_dist(T, p_lo, p_hi)
-    if rw > 0.0 and p_rlo is not None:
-        dmin_p = dmin_p + rw * _rot_lb(R, p_rlo, p_rhi)
     adm = dmin_p <= bound[:, None]
     if home_pid is not None:
         adm &= np.arange(len(p_lo))[None, :] != home_pid[:, None]
+    if use_rot and adm.any():
+        qi_a, pi_a = np.nonzero(adm)
+        extra = rw * _rot_lb_pairs(R[qi_a], p_rlo[pi_a], p_rhi[pi_a])
+        bad = dmin_p[qi_a, pi_a] + extra > bound[qi_a]
+        adm[qi_a[bad], pi_a[bad]] = False
     out_qi: list[np.ndarray] = []
     out_pid: list[np.ndarray] = []
     for p in np.nonzero(adm.any(axis=0))[0]:
         rows_p = np.nonzero(adm[:, p])[0]
         s, e = p_start[p], p_start[p + 1]
         dmin = tw * _bbox_min_dist(T[rows_p], leaf_lo[s:e], leaf_hi[s:e])
-        if rw > 0.0 and leaf_rlo is not None:
-            dmin = dmin + rw * _rot_lb(R[rows_p], leaf_rlo[s:e], leaf_rhi[s:e])
-        ok = (dmin <= bound[rows_p][:, None]).any(axis=1)
-        sel = rows_p[ok]
+        ok = dmin <= bound[rows_p][:, None]
+        if use_rot and leaf_rlo is not None and ok.any():
+            ri, li = np.nonzero(ok)
+            extra = rw * _rot_lb_pairs(
+                R[rows_p][ri], leaf_rlo[s:e][li], leaf_rhi[s:e][li]
+            )
+            bad = dmin[ri, li] + extra > bound[rows_p][ri]
+            ok[ri[bad], li[bad]] = False
+        sel = rows_p[ok.any(axis=1)]
         if len(sel) > 0:
             out_qi.append(sel)
             out_pid.append(np.full(len(sel), p, np.int64))
