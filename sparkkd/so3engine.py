@@ -1469,13 +1469,27 @@ def _se3_radius_on_index(
                     ["query_id", *QCOLS, *TCOLS]
                 ].copy()
                 out["pid"] = pid
+                # per-candidate TRANSLATION cap: any hit in this partition
+                # obeys tw*et <= r - rw*ang <= r - rw*rot_lb(q, partition)
+                # — rotation-dominant weights shrink the in-partition scan
+                # radius the same way they shrink admission (the group
+                # kernel scans at the max cap of its queries, a superset)
+                tcap = np.full(len(qi), t_r)
+                p_rlo, p_rhi = la[6], la[7]
+                if tw > 0 and rw > 0 and p_rlo is not None:
+                    lb = _rot_lb_pairs(QR[sl][qi], p_rlo[pid], p_rhi[pid])
+                    tcap = np.minimum(
+                        tcap,
+                        ((r_pad - rw * lb) / tw) * (1.0 + 1e-12) + 1e-15,
+                    )
+                out["t_cap"] = tcap
                 yield out
 
     cand = q.mapInPandas(
         gen,
         schema="query_id string, "
         + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
-        + ", pid long",
+        + ", pid long, t_cap double",
     ).join(pid_salts, "pid").drop("pid")
     # cache + ONE collect (see _so3_radius_on_index)
     cand = _register_cache(cand, _ONESHOT_CACHES)
@@ -1494,8 +1508,9 @@ def _se3_radius_on_index(
         ids = right["pose_id"].to_numpy()
         pr_q = PR
         if np.isfinite(t_r):
+            t_scan = float(min(t_r, left["t_cap"].max()))
             tree = kernel.build(PT)
-            qi, idx, et = kernel.radius(tree, QT, t_r)
+            qi, idx, et = kernel.radius(tree, QT, t_scan)
             a = QR[qi]
             bq = pr_q[idx]
         else:  # tw == 0: dense scan (rotation-only metric has no index)
