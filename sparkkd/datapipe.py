@@ -1033,17 +1033,34 @@ def ivf_centroid_fixture(
     if os.path.exists(out_path):
         t = pq.read_table(out_path).to_pandas().sort_values("bucket")
         return np.array(t["centroid"].tolist(), dtype=np.float64)
-    t = (
-        pq.read_table(emb_path, columns=["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    X = np.array(t["embedding"].tolist(), dtype=np.float64)
-    n = len(X)
+    # STREAMING stride sample in file order: only sample_rows vectors are
+    # ever materialized on this node, never the table (at 10^9 rows a
+    # full-table read here would be the pipeline's driver OOM).  File
+    # order is deterministic for a given parquet, so training is too.
+    pf = pq.ParquetFile(emb_path)
+    n = pf.metadata.num_rows
     if n_centroids is None:
         n_centroids = max(16, int(round(np.sqrt(max(n, 1)))))
     stride = max(1, n // sample_rows)
-    sample = X[::stride][:sample_rows]
+    picked: list[np.ndarray] = []
+    pos = 0
+    nxt = 0  # next global row index to sample
+    for batch in pf.iter_batches(columns=["embedding"], batch_size=65536):
+        blen = batch.num_rows
+        idxs = []
+        while nxt < pos + blen and len(picked) + len(idxs) < sample_rows:
+            if nxt >= pos:
+                idxs.append(nxt - pos)
+            nxt += stride
+        if idxs:
+            col = batch.column(0)
+            picked.extend(
+                np.asarray(col[i].as_py(), dtype=np.float64) for i in idxs
+            )
+        pos += blen
+        if len(picked) >= sample_rows:
+            break
+    sample = np.vstack(picked)
     cents = _spherical_kmeans(sample, n_centroids, seed, iters)
     out = pa.table(
         {
