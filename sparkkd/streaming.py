@@ -243,3 +243,128 @@ def windowed_event_rates(
         "n_events",
         "total_value",
     )
+
+
+def sessionize(events: DataFrame, gap_us: int = 300_000_000) -> DataFrame:
+    """Per-user SESSIONS with an inactivity gap (batch gaps-and-islands):
+    a new session starts when the gap to the user's previous event exceeds
+    ``gap_us`` microseconds.  Returns one row per session:
+    (user_id, session_no, session_start_us, session_end_us, n_events,
+    total_value).
+
+    Pure window functions + one groupBy — whole-stage codegen, one shuffle
+    on user_id; the DuckDB oracle mirrors lag/sum-over/epoch_us term for
+    term.  This is the BATCH twin of :func:`stream_sessionize` (the
+    applyInPandasWithState path): on any closed input both produce
+    identical sessions, reconciled in tests."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > F.lit(gap_us)
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = src.withColumn("brk", brk).withColumn(
+        "session_no", F.sum("brk").over(ws).cast("int")
+    )
+    return tagged.groupBy("user_id", "session_no").agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_us: int = 300_000_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator via ``applyInPandasWithState``
+    (the charter's named mechanism): per-user sessionization over an
+    event stream, emitting a session only once it is CLOSED — either a
+    later event of the same user broke the gap inside a batch, or the
+    event-time watermark passed ``session_end + gap`` (state timeout).
+
+    State per user: (start_us, end_us, n, total) of the OPEN session —
+    O(1) per key regardless of stream length; the watermark bounds state
+    lifetime, so 10^9 users stream with bounded memory.  Emitted rows
+    match :func:`sessionize` on the same closed input (reconciled in
+    tests) except ``session_no`` (a batch-global ordinal a stream cannot
+    know); join on (user_id, session_start_us) instead."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).withWatermark("ts", watermark)
+    out_schema = (
+        "user_id int, session_start_us long, session_end_us long,"
+        " n_events long, total_value double"
+    )
+    state_schema = "start_us long, end_us long, n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        closed: list[tuple[int, int, int, float]] = []
+        if state.hasTimedOut:
+            s0, e0, n0, t0 = state.get
+            closed.append((s0, e0, n0, t0))
+            state.remove()
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [uid] * len(closed),
+                        "session_start_us": [c[0] for c in closed],
+                        "session_end_us": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                        "total_value": [round(c[3], 2) for c in closed],
+                    }
+                )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts")
+        # normalize to ns first — Arrow may hand datetime64[us] or [ns]
+        ts_us = (
+            rows["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            // 1000
+        )
+        vals = rows["value"].to_numpy()
+        cur = state.get if state.exists else None  # (start, end, n, total)
+        for t_us, v in zip(ts_us, vals):
+            t_us = int(t_us)
+            if cur is None:
+                cur = (t_us, t_us, 1, float(v))
+            elif t_us - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (t_us, t_us, 1, float(v))
+            else:
+                cur = (cur[0], max(cur[1], t_us), cur[2] + 1, cur[3] + float(v))
+        state.update(cur)
+        # close the open session once event time passes end + gap
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [round(c[3], 2) for c in closed],
+                }
+            )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -250,3 +250,117 @@ def test_stream_knn_enrich_matches_batch(spark, tmp_path, sf0001_fixtures):
         assert got.equals(want)
     finally:
         idx.unpersist()
+
+
+def test_sessionize_matches_scalar_oracle(spark):
+    """Batch gaps-and-islands sessionization vs a scalar python oracle."""
+    import pandas as pd
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    gap_us = 300_000_000
+    got = (
+        streaming.sessionize(events, gap_us=gap_us)
+        .toPandas()
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    pdf = events.toPandas().sort_values(["user_id", "ts", "event_id"])
+    want = []
+    for uid, g in pdf.groupby("user_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype("int64") // 1000
+        vals = g["value"].to_numpy()
+        sess = None
+        sno = 0
+        for t, v in zip(ts, vals):
+            if sess is None or t - sess[1] > gap_us:
+                if sess is not None:
+                    want.append((uid, sno, *sess))
+                sno += 1
+                sess = (int(t), int(t), 1, float(v))
+            else:
+                sess = (sess[0], int(t), sess[2] + 1, sess[3] + float(v))
+        want.append((uid, sno, *sess))
+    want_df = pd.DataFrame(
+        want,
+        columns=[
+            "user_id", "session_no", "session_start_us", "session_end_us",
+            "n_events", "total_value",
+        ],
+    )
+    want_df["total_value"] = want_df["total_value"].round(2)
+    want_df = want_df.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    assert len(got) == len(want_df)
+    for c in got.columns:
+        if c == "total_value":
+            assert (got[c].round(2) == want_df[c]).all(), c
+        else:
+            assert (got[c].astype("int64") == want_df[c].astype("int64")).all(), c
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: run the events through a
+    FILE stream in two chunks + a watermark-advancing sentinel; every
+    emitted (closed) session must equal the batch sessionize row for the
+    same (user_id, session_start_us), and most sessions must have closed."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    import pyarrow.compute as pc
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tbl = papq.read_table("/root/testdata/sf0.001/events.parquet")
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    src = tmp_path / "ev"
+    src.mkdir()
+    half = len(tbl) // 2
+    # slice the ORIGINAL arrow table (a pandas round trip changes the
+    # parquet timestamp physical type and breaks the stream's schema)
+    papq.write_table(tbl.slice(0, half), src / "a.parquet")
+    papq.write_table(tbl.slice(half), src / "b.parquet")
+    # sentinel: far-future event for a user outside the compare set —
+    # advances the watermark so open-session timeouts fire
+    sent = tbl.slice(len(tbl) - 1).to_pandas()
+    sent["user_id"] = 10_000_001
+    sent["ts"] = sent["ts"] + pd.Timedelta(days=2)
+    papq.write_table(
+        pa.Table.from_pandas(sent, schema=tbl.schema, preserve_index=False),
+        src / "z_sentinel.parquet",
+    )
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        streaming.stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.table("sess_out").toPandas()
+        .query("user_id < 10_000_000")
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        streaming.sessionize(events)
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    bmap = {
+        (r.user_id, r.session_start_us): r for r in batch.itertuples()
+    }
+    assert len(got) > 0.5 * len(batch)  # most sessions closed
+    for r in got.itertuples():
+        b = bmap[(r.user_id, r.session_start_us)]
+        assert r.session_end_us == b.session_end_us
+        assert r.n_events == b.n_events
+        assert abs(r.total_value - round(b.total_value, 2)) < 1e-9
+    # no session emitted twice
+    assert got.duplicated(["user_id", "session_start_us"]).sum() == 0
