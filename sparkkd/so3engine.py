@@ -526,21 +526,19 @@ def _partition_candidates(
     adm = dmin_p <= bound[:, None]
     if home_pid is not None:
         adm &= np.arange(len(p_lo))[None, :] != home_pid[:, None]
-    out_qi: list[np.ndarray] = []
-    out_pid: list[np.ndarray] = []
-    for p in np.nonzero(adm.any(axis=0))[0]:
-        rows_p = np.nonzero(adm[:, p])[0]
-        s, e = p_start[p], p_start[p + 1]
-        dmin = scale * _bbox_min_dist(P[rows_p], leaf_lo[s:e], leaf_hi[s:e])
-        ok = (dmin <= bound[rows_p][:, None]).any(axis=1)
-        sel = rows_p[ok]
-        if len(sel) > 0:
-            out_qi.append(sel)
-            out_pid.append(np.full(len(sel), p, np.int64))
-    if not out_qi:
+    qi_a, pi_a = np.nonzero(adm)
+    if len(qi_a) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    return np.concatenate(out_qi), np.concatenate(out_pid)
+
+    def test(qq, li):
+        return (
+            scale * _bbox_min_dist_pairs(P[qq], leaf_lo[li], leaf_hi[li])
+            <= bound[qq]
+        )
+
+    ok = _leaf_any_pass(qi_a, pi_a, p_start, test)
+    return qi_a[ok], pi_a[ok]
 
 
 def _rot_lb(R: np.ndarray, rlo: np.ndarray, rhi: np.ndarray) -> np.ndarray:
@@ -589,6 +587,28 @@ def _rot_lb_pairs(
     return np.maximum(lb * (1.0 - 1e-12) - 1e-15, 0.0)
 
 
+def _leaf_any_pass(qi_a, pi_a, p_start, test_fn):
+    """Vectorized leaf-level refinement for admitted (query, partition)
+    pairs: expand each pair to its partition's member leaves with repeat,
+    run the PAIRED bound test once over all rows, reduce any() per pair
+    with bitwise_or.reduceat — no Python loop over partitions (the
+    per-partition loop this replaces measured ~0.8 ms/query at 4k
+    partitions; leaves-per-partition is small, so the expansion is a few
+    rows per admitted pair)."""
+    counts = (p_start[pi_a + 1] - p_start[pi_a]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(len(qi_a), dtype=bool)
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    li = np.repeat(p_start[pi_a], counts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(off[:-1], counts)
+    )
+    qq = np.repeat(qi_a, counts)
+    ok = test_fn(qq, li)
+    return np.bitwise_or.reduceat(ok, off[:-1])
+
+
 def _se3_partition_candidates(
     T: np.ndarray,
     R: np.ndarray,
@@ -623,28 +643,19 @@ def _se3_partition_candidates(
         extra = rw * _rot_lb_pairs(R[qi_a], p_rlo[pi_a], p_rhi[pi_a])
         bad = dmin_p[qi_a, pi_a] + extra > bound[qi_a]
         adm[qi_a[bad], pi_a[bad]] = False
-    out_qi: list[np.ndarray] = []
-    out_pid: list[np.ndarray] = []
-    for p in np.nonzero(adm.any(axis=0))[0]:
-        rows_p = np.nonzero(adm[:, p])[0]
-        s, e = p_start[p], p_start[p + 1]
-        dmin = tw * _bbox_min_dist(T[rows_p], leaf_lo[s:e], leaf_hi[s:e])
-        ok = dmin <= bound[rows_p][:, None]
-        if use_rot and leaf_rlo is not None and ok.any():
-            ri, li = np.nonzero(ok)
-            extra = rw * _rot_lb_pairs(
-                R[rows_p][ri], leaf_rlo[s:e][li], leaf_rhi[s:e][li]
-            )
-            bad = dmin[ri, li] + extra > bound[rows_p][ri]
-            ok[ri[bad], li[bad]] = False
-        sel = rows_p[ok.any(axis=1)]
-        if len(sel) > 0:
-            out_qi.append(sel)
-            out_pid.append(np.full(len(sel), p, np.int64))
-    if not out_qi:
+    qi_a, pi_a = np.nonzero(adm)
+    if len(qi_a) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    return np.concatenate(out_qi), np.concatenate(out_pid)
+
+    def test(qq, li):
+        d = tw * _bbox_min_dist_pairs(T[qq], leaf_lo[li], leaf_hi[li])
+        if use_rot and leaf_rlo is not None:
+            d = d + rw * _rot_lb_pairs(R[qq], leaf_rlo[li], leaf_rhi[li])
+        return d <= bound[qq]
+
+    ok = _leaf_any_pass(qi_a, pi_a, p_start, test)
+    return qi_a[ok], pi_a[ok]
 
 
 def _grid_home_edge(
@@ -1425,9 +1436,6 @@ def _se3_radius_on_index(
 ) -> DataFrame:
     rw, tw = float(rot_weight), float(trans_weight)
     r = float(r)
-    # translation-space admission radius (padded superset; exact compound
-    # distance decides below)
-    t_r = (r / tw) * (1.0 + 1e-12) + 1e-15 if tw > 0 else float("inf")
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pid_salts = _pid_salts(spark, layout)
     q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
@@ -1452,7 +1460,9 @@ def _se3_radius_on_index(
             T = pdf[list(TCOLS)].to_numpy(np.float64)
             QR = pdf[list(QCOLS)].to_numpy(np.float64)
             QR = QR * canon_sign_np(QR)[:, None]
-            chunk = max(256, 8_000_000 // max(len(lo), 1))
+            # chunk on the PARTITION matrix (the leaf stage is pair-
+            # expanded now, never a (chunk, leaves) matrix)
+            chunk = max(256, 8_000_000 // max(len(la[4]), 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P3 = T[sl]
@@ -1469,34 +1479,94 @@ def _se3_radius_on_index(
                     ["query_id", *QCOLS, *TCOLS]
                 ].copy()
                 out["pid"] = pid
-                # per-candidate TRANSLATION cap: any hit in this partition
-                # obeys tw*et <= r - rw*ang <= r - rw*rot_lb(q, partition)
-                # — rotation-dominant weights shrink the in-partition scan
-                # radius the same way they shrink admission (the group
-                # kernel scans at the max cap of its queries, a superset)
-                tcap = np.full(len(qi), t_r)
-                p_rlo, p_rhi = la[6], la[7]
-                if tw > 0 and rw > 0 and p_rlo is not None:
-                    lb = _rot_lb_pairs(QR[sl][qi], p_rlo[pid], p_rhi[pid])
-                    tcap = np.minimum(
-                        tcap,
-                        ((r_pad - rw * lb) / tw) * (1.0 + 1e-12) + 1e-15,
-                    )
-                out["t_cap"] = tcap
                 yield out
 
     cand = q.mapInPandas(
         gen,
         schema="query_id string, "
         + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
-        + ", pid long, t_cap double",
+        + ", pid long",
     ).join(pid_salts, "pid").drop("pid")
-    # cache + ONE collect (see _so3_radius_on_index)
+    # ONE collect: per-partition candidate-row counts.  It fills the cand
+    # cache, yields the probed part_keys for the InSet pushdown AND
+    # drives BATCH-ADAPTIVE group splitting: a dense partition receiving
+    # both many probing queries and many poses would hand ONE cogroup
+    # task queries*poses candidate pairs (measured: single-task
+    # stragglers serialized the sf1 run for minutes).  Heavy groups split
+    # QUERY-side into ceil(work / split_target) sub-keys; only their
+    # corpus rows replicate (broadcast explode), so shuffle volume grows
+    # only by the heavy tail's split factor.
     cand = _register_cache(cand, _ONESHOT_CACHES)
-    keys = [r_["part_key"] for r_ in cand.select("part_key").distinct().collect()]
-    corp_probe = corpus.filter(
+    crows = cand.groupBy("part_key").count().collect()
+    keys = [int(r_["part_key"]) for r_ in crows]
+    split_target = 4_000_000  # candidate pairs per cogroup task
+    pc = layout.p_counts
+    splits: dict[int, int] = {}
+    for r_ in crows:
+        k_ = int(r_["part_key"])
+        work = int(r_["count"]) * int(pc[k_ >> SALT_BITS])
+        s_ = min(256, max(1, -(-work // split_target)))
+        if s_ > 1:
+            splits[k_] = s_
+    base_probe = corpus.filter(
         F.col("part_key").isin(keys) if keys else F.lit(False)
     )
+    if splits:
+        smap = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "part_key": np.array(list(splits), np.int64),
+                        "n_split": np.array(list(splits.values()), np.int32),
+                    }
+                )
+            )
+        )
+        cand = (
+            cand.join(smap, "part_key", "left")
+            .withColumn(
+                "gsalt",
+                F.coalesce(
+                    F.pmod(F.xxhash64("query_id"), F.col("n_split")),
+                    F.lit(0),
+                ).cast("int"),
+            )
+            .drop("n_split")
+        )
+        exp = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "part_key": np.repeat(
+                            np.array(list(splits), np.int64),
+                            np.array(list(splits.values()), np.int64),
+                        ),
+                        "gsalt": np.concatenate(
+                            [np.arange(v) for v in splits.values()]
+                        ).astype(np.int32),
+                    }
+                )
+            )
+        )
+        heavy = base_probe.join(exp, "part_key")
+        light = (
+            base_probe.join(exp.select("part_key").distinct(), "part_key", "left_anti")
+            .withColumn("gsalt", F.lit(0).cast("int"))
+        )
+        corp_probe = heavy.unionByName(light.select(*heavy.columns))
+    else:
+        cand = cand.withColumn("gsalt", F.lit(0).cast("int"))
+        corp_probe = base_probe.withColumn("gsalt", F.lit(0).cast("int"))
+
+    # embedded-space scan radius: dist = rw*ang + tw*dt >=
+    # sqrt((tw*dt)^2 + (rw*chord)^2) = L2 in the 7-D embedding
+    # (tw*t, rw*c) with c the CANONICAL quaternion coefficients and the
+    # query probed at BOTH rotation signs (chord = min over signs) — so a
+    # plain k-d radius query at r is a provable superset with BOTH metric
+    # terms pruning.  Round-3/-4a scanned on the translation term alone
+    # (t <= r/tw admitted ~30x the hits at sf1: 292k pairs/s); the
+    # embedded scan is the compound twin of the SO(3) antipodal reduction.
+    r_scan = r * (1.0 + 1e-12) + 1e-15
 
     def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1506,27 +1576,44 @@ def _se3_radius_on_index(
         PR = right[list(QCOLS)].to_numpy(np.float64)
         PT = right[list(TCOLS)].to_numpy(np.float64)
         ids = right["pose_id"].to_numpy()
-        pr_q = PR
-        if np.isfinite(t_r):
-            t_scan = float(min(t_r, left["t_cap"].max()))
-            tree = kernel.build(PT)
-            qi, idx, et = kernel.radius(tree, QT, t_scan)
-            a = QR[qi]
-            bq = pr_q[idx]
-        else:  # tw == 0: dense scan (rotation-only metric has no index)
-            nq, npts = len(QT), len(PT)
-            qi = np.repeat(np.arange(nq), npts)
-            idx = np.tile(np.arange(npts), nq)
-            d = QT[qi] - PT[idx]
-            et = np.sqrt((d * d).sum(axis=1))
-            a = QR[qi]
-            bq = pr_q[idx]
-        # oracle-exact compound: left-assoc dot, libm acos
+        nq = len(QT)
+        PRc = PR * canon_sign_np(PR)[:, None]
+        QRc = QR * canon_sign_np(QR)[:, None]
+        Z = np.hstack([tw * PT, rw * PRc])
+        Zq = np.vstack(
+            [
+                np.hstack([tw * QT, rw * QRc]),
+                np.hstack([tw * QT, -rw * QRc]),
+            ]
+        )
+        tree = kernel.build(Z)
+        qi2, idx, _ = kernel.radius(tree, Zq, r_scan)
+        qi = qi2 % nq  # fold the +/- probes back to the query
+        # dedupe (query, pose): both probes can return the same pair
+        if len(qi) > 0:
+            pairk = qi.astype(np.int64) * np.int64(len(ids)) + idx
+            o = np.lexsort((pairk,))
+            pk = pairk[o]
+            firsts = np.ones(len(o), dtype=bool)
+            firsts[1:] = pk[1:] != pk[:-1]
+            sel = o[firsts]
+            qi, idx = qi[sel], idx[sel]
+        a = QR[qi]
+        bq = PR[idx]
+        d = QT[qi] - PT[idx]
+        et = np.sqrt((d * d).sum(axis=1))
+        # oracle-exact compound: left-assoc dot, libm acos — the libm
+        # pass (frompyfunc, per-element) runs only on embedded-admitted
+        # candidates after a SIMD chord pre-kill (chord <= ang, so
+        # rw*chord + tw*et > r proves dist > r)
         dot = a[:, 0] * bq[:, 0]
         dot = dot + a[:, 1] * bq[:, 1]
         dot = dot + a[:, 2] * bq[:, 2]
         dot = dot + a[:, 3] * bq[:, 3]
         ldot = np.minimum(1.0, np.abs(dot))
+        chord = np.sqrt(np.maximum(2.0 - 2.0 * ldot, 0.0))
+        alive = rw * chord + tw * et <= r
+        qi, idx, et, ldot = qi[alive], idx[alive], et[alive], ldot[alive]
         dist = rw * acos_exact(ldot) + tw * et
         keep = dist <= r
         return pd.DataFrame(
@@ -1538,14 +1625,14 @@ def _se3_radius_on_index(
         )
 
     hits = (
-        cand.groupby("part_key")
-        .cogroup(corp_probe.groupby("part_key"))
+        cand.groupby("part_key", "gsalt")
+        .cogroup(corp_probe.groupby("part_key", "gsalt"))
         .applyInPandas(
             radius_group, schema="query_id string, pose_id string, dist double"
         )
     )
-    # a pose lives in exactly one partition and queries emit one row per
-    # admitted partition — no dedupe needed
+    # a pose lives in exactly one partition, a query row carries exactly
+    # one gsalt per admitted partition — no dedupe needed
     return hits
 
 
