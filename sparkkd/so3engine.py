@@ -1176,6 +1176,79 @@ def so3_radius_join(
     return _so3_radius_on_index(spark, corpus, layout, queries, r)
 
 
+def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
+    """ONE collect over the cached candidate side: per-partition candidate
+    counts fill the cache, yield the probed part_keys for the InSet
+    pushdown AND drive BATCH-ADAPTIVE cogroup splitting.  A dense
+    partition receiving both many probing rows and many poses would hand
+    ONE cogroup task queries*poses candidate pairs (measured: single-task
+    stragglers serialized the se3 sf1 radius run for minutes).  Heavy
+    groups split QUERY-side into ceil(work / split_target) sub-keys
+    (gsalt); only their corpus rows replicate via a broadcast explode, so
+    shuffle volume grows only by the heavy tail's split factor.  Returns
+    (cand + gsalt, probed corpus + gsalt) — group on (part_key, gsalt)."""
+    crows = cand.groupBy("part_key").count().collect()
+    keys = [int(r_["part_key"]) for r_ in crows]
+    pc = layout.p_counts
+    splits: dict[int, int] = {}
+    for r_ in crows:
+        k_ = int(r_["part_key"])
+        work = int(r_["count"]) * int(pc[k_ >> SALT_BITS])
+        s_ = min(256, max(1, -(-work // split_target)))
+        if s_ > 1:
+            splits[k_] = s_
+    base_probe = corpus.filter(
+        F.col("part_key").isin(keys) if keys else F.lit(False)
+    )
+    if not splits:
+        return (
+            cand.withColumn("gsalt", F.lit(0).cast("int")),
+            base_probe.withColumn("gsalt", F.lit(0).cast("int")),
+        )
+    smap = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "part_key": np.array(list(splits), np.int64),
+                    "n_split": np.array(list(splits.values()), np.int32),
+                }
+            )
+        )
+    )
+    cand = (
+        cand.join(smap, "part_key", "left")
+        .withColumn(
+            "gsalt",
+            F.coalesce(
+                F.pmod(F.xxhash64("query_id"), F.col("n_split")), F.lit(0)
+            ).cast("int"),
+        )
+        .drop("n_split")
+    )
+    exp = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "part_key": np.repeat(
+                        np.array(list(splits), np.int64),
+                        np.array(list(splits.values()), np.int64),
+                    ),
+                    "gsalt": np.concatenate(
+                        [np.arange(v) for v in splits.values()]
+                    ).astype(np.int32),
+                }
+            )
+        )
+    )
+    heavy = base_probe.join(exp, "part_key")
+    light = (
+        base_probe.join(
+            exp.select("part_key").distinct(), "part_key", "left_anti"
+        ).withColumn("gsalt", F.lit(0).cast("int"))
+    )
+    return cand, heavy.unionByName(light.select(*heavy.columns))
+
+
 def _so3_radius_on_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -1237,14 +1310,11 @@ def _so3_radius_on_index(
         schema="query_id string, pw double, px double, py double, pz double,"
         " pid long",
     ).join(pid_salts, "pid").select("query_id", "pw", "px", "py", "pz", "part_key")
-    # cache + ONE collect: round 3 computed the admission gen TWICE (once
-    # for the probe-keys broadcast, once as the cogroup's left side); the
-    # collect fills the cache and the probed keys become an InSet pushdown
+    # cache + ONE collect (counts): round 3 computed the admission gen
+    # TWICE (probe-keys broadcast + cogroup left side); the collect fills
+    # the cache, drives the InSet pushdown AND the heavy-group split
     cand = _register_cache(cand, _ONESHOT_CACHES)
-    keys = [r_["part_key"] for r_ in cand.select("part_key").distinct().collect()]
-    corp_probe = corpus.filter(
-        F.col("part_key").isin(keys) if keys else F.lit(False)
-    )
+    cand, corp_probe = _split_heavy_groups(spark, cand, corpus, layout)
 
     def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1265,8 +1335,8 @@ def _so3_radius_on_index(
         )
 
     hits = (
-        cand.groupby("part_key")
-        .cogroup(corp_probe.groupby("part_key"))
+        cand.groupby("part_key", "gsalt")
+        .cogroup(corp_probe.groupby("part_key", "gsalt"))
         .applyInPandas(radius_group, schema="query_id string, pose_id string, ang double")
     )
     # |dot(+-q, p)| is bit-identical, so both probes report the SAME ang
@@ -1487,76 +1557,10 @@ def _se3_radius_on_index(
         + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
         + ", pid long",
     ).join(pid_salts, "pid").drop("pid")
-    # ONE collect: per-partition candidate-row counts.  It fills the cand
-    # cache, yields the probed part_keys for the InSet pushdown AND
-    # drives BATCH-ADAPTIVE group splitting: a dense partition receiving
-    # both many probing queries and many poses would hand ONE cogroup
-    # task queries*poses candidate pairs (measured: single-task
-    # stragglers serialized the sf1 run for minutes).  Heavy groups split
-    # QUERY-side into ceil(work / split_target) sub-keys; only their
-    # corpus rows replicate (broadcast explode), so shuffle volume grows
-    # only by the heavy tail's split factor.
+    # cache + ONE collect (counts): InSet pushdown + heavy-group split
+    # (see _split_heavy_groups)
     cand = _register_cache(cand, _ONESHOT_CACHES)
-    crows = cand.groupBy("part_key").count().collect()
-    keys = [int(r_["part_key"]) for r_ in crows]
-    split_target = 4_000_000  # candidate pairs per cogroup task
-    pc = layout.p_counts
-    splits: dict[int, int] = {}
-    for r_ in crows:
-        k_ = int(r_["part_key"])
-        work = int(r_["count"]) * int(pc[k_ >> SALT_BITS])
-        s_ = min(256, max(1, -(-work // split_target)))
-        if s_ > 1:
-            splits[k_] = s_
-    base_probe = corpus.filter(
-        F.col("part_key").isin(keys) if keys else F.lit(False)
-    )
-    if splits:
-        smap = F.broadcast(
-            spark.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "part_key": np.array(list(splits), np.int64),
-                        "n_split": np.array(list(splits.values()), np.int32),
-                    }
-                )
-            )
-        )
-        cand = (
-            cand.join(smap, "part_key", "left")
-            .withColumn(
-                "gsalt",
-                F.coalesce(
-                    F.pmod(F.xxhash64("query_id"), F.col("n_split")),
-                    F.lit(0),
-                ).cast("int"),
-            )
-            .drop("n_split")
-        )
-        exp = F.broadcast(
-            spark.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "part_key": np.repeat(
-                            np.array(list(splits), np.int64),
-                            np.array(list(splits.values()), np.int64),
-                        ),
-                        "gsalt": np.concatenate(
-                            [np.arange(v) for v in splits.values()]
-                        ).astype(np.int32),
-                    }
-                )
-            )
-        )
-        heavy = base_probe.join(exp, "part_key")
-        light = (
-            base_probe.join(exp.select("part_key").distinct(), "part_key", "left_anti")
-            .withColumn("gsalt", F.lit(0).cast("int"))
-        )
-        corp_probe = heavy.unionByName(light.select(*heavy.columns))
-    else:
-        cand = cand.withColumn("gsalt", F.lit(0).cast("int"))
-        corp_probe = base_probe.withColumn("gsalt", F.lit(0).cast("int"))
+    cand, corp_probe = _split_heavy_groups(spark, cand, corpus, layout)
 
     # embedded-space scan radius: dist = rw*ang + tw*dt >=
     # sqrt((tw*dt)^2 + (rw*chord)^2) = L2 in the 7-D embedding
