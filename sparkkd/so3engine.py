@@ -785,7 +785,8 @@ class So3Index:
 
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
         return _so3_radius_on_index(
-            self.spark, self.corpus, self.layout, queries, r
+            self.spark, self.corpus, self.layout, queries, r,
+            cache_registry=self._caches,
         )
 
     def unpersist(self) -> None:
@@ -1190,10 +1191,17 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
     crows = cand.groupBy("part_key").count().collect()
     keys = [int(r_["part_key"]) for r_ in crows]
     pc = layout.p_counts
+    psn = layout.p_salt_n
     splits: dict[int, int] = {}
     for r_ in crows:
         k_ = int(r_["part_key"])
-        work = int(r_["count"]) * int(pc[k_ >> SALT_BITS])
+        pid = k_ >> SALT_BITS
+        # part_key is (pid, salt): a salted partition's poses are divided
+        # across its salt_n keys, so per-GROUP pose count is pc/salt_n
+        # (ceil) — estimating with the full pc overestimated work by up to
+        # salt_n and replicated corpus rows for groups needing no split
+        ppg = -(-int(pc[pid]) // max(int(psn[pid]), 1))
+        work = int(r_["count"]) * ppg
         s_ = min(256, max(1, -(-work // split_target)))
         if s_ > 1:
             splits[k_] = s_
@@ -1255,7 +1263,14 @@ def _so3_radius_on_index(
     layout: PoseLayout,
     queries: DataFrame,
     r: float,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
+    # mirror the kNN paths: one-shot callers drain the global registry at
+    # entry so repeated radius joins never accumulate pinned intermediates;
+    # index-owned callers pass self._caches (drained by idx.unpersist())
+    if cache_registry is None:
+        cache_registry = _ONESHOT_CACHES
+    _release_registry(cache_registry)
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sign = canon_sign_sql()
     ccols = list(CCOLS)
@@ -1313,7 +1328,7 @@ def _so3_radius_on_index(
     # cache + ONE collect (counts): round 3 computed the admission gen
     # TWICE (probe-keys broadcast + cogroup left side); the collect fills
     # the cache, drives the InSet pushdown AND the heavy-group split
-    cand = _register_cache(cand, _ONESHOT_CACHES)
+    cand = _register_cache(cand, cache_registry)
     cand, corp_probe = _split_heavy_groups(spark, cand, corpus, layout)
 
     def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -1445,7 +1460,7 @@ class Se3Index:
     ) -> DataFrame:
         return _se3_radius_on_index(
             self.spark, self.corpus, self.layout, queries, r,
-            rot_weight, trans_weight,
+            rot_weight, trans_weight, cache_registry=self._caches,
         )
 
     def unpersist(self) -> None:
@@ -1503,7 +1518,13 @@ def _se3_radius_on_index(
     r: float,
     rot_weight: float,
     trans_weight: float,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
+    # see _so3_radius_on_index: drain at entry, register into the caller's
+    # registry so index-owned joins release via idx.unpersist()
+    if cache_registry is None:
+        cache_registry = _ONESHOT_CACHES
+    _release_registry(cache_registry)
     rw, tw = float(rot_weight), float(trans_weight)
     r = float(r)
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -1559,7 +1580,7 @@ def _se3_radius_on_index(
     ).join(pid_salts, "pid").drop("pid")
     # cache + ONE collect (counts): InSet pushdown + heavy-group split
     # (see _split_heavy_groups)
-    cand = _register_cache(cand, _ONESHOT_CACHES)
+    cand = _register_cache(cand, cache_registry)
     cand, corp_probe = _split_heavy_groups(spark, cand, corpus, layout)
 
     # embedded-space scan radius: dist = rw*ang + tw*dt >=
