@@ -201,6 +201,20 @@ class PoseLayout:
     leaf_shi: np.ndarray | None = None
     p_slo: np.ndarray | None = None  # (P, ds) union over member leaves
     p_shi: np.ndarray | None = None
+    # ADMISSION GROUPS — the third pruning level (reference: the ordered
+    # volume traversal descends the tree instead of sweeping all leaves,
+    # src/_so3space.hpp:401-423).  Partitions are already ordered by
+    # (coarse ancestor, key), so contiguous pid RANGES are spatially
+    # coherent; grouping ~sqrt(P) of them under a union box keeps the
+    # dense per-chunk admission matrix at (chunk, G) with G ~ sqrt(P) —
+    # bounded at any corpus size — and expands only admitted groups to
+    # their member partitions (paired tests, never dense).
+    g_start: np.ndarray | None = None  # (G+1,) pid offsets per group
+    g_counts: np.ndarray | None = None  # (G,) total poses per group
+    g_lo: np.ndarray | None = None  # (G, d) union of member p boxes
+    g_hi: np.ndarray | None = None
+    g_slo: np.ndarray | None = None  # (G, ds) union rotation stats boxes
+    g_shi: np.ndarray | None = None
 
     @property
     def n_partitions(self) -> int:
@@ -240,6 +254,40 @@ def _collect_cell_stats(df: DataFrame, cell_expr: str, dim_cols: list[str]):
         pdf[[f"lo_{c}" for c in dim_cols]].to_numpy(np.float64),
         pdf[[f"hi_{c}" for c in dim_cols]].to_numpy(np.float64),
     )
+
+
+def _build_groups(p_lo, p_hi, p_counts, p_anc):
+    """Pack the (ancestor-ordered) partitions into contiguous ADMISSION
+    GROUPS of target size ~sqrt(P), breaking early at coarse-ancestor
+    boundaries once a group holds >= target/2 members so group boxes
+    follow the spatial hierarchy where it exists.  G ~ sqrt(P) balances
+    the two admission stages: the dense (chunk, G) group matrix and the
+    per-admitted-group paired expansion of <= target member partitions.
+
+    Returns (g_start, g_counts, g_lo, g_hi)."""
+    P = len(p_counts)
+    s = max(8, int(np.ceil(np.sqrt(max(P, 1)))))
+    g_of = np.empty(P, np.int64)
+    g, size = 0, 0
+    for pid in range(P):  # driver-side O(P), same class as the bin-pack
+        if size >= s or (
+            size >= s // 2 and pid > 0 and p_anc[pid] != p_anc[pid - 1]
+        ):
+            g += 1
+            size = 0
+        g_of[pid] = g
+        size += 1
+    G = (g + 1) if P else 0
+    g_start = np.searchsorted(g_of, np.arange(G + 1)).astype(np.int64)
+    if P == 0:
+        return (
+            g_start, np.empty(0, np.int64),
+            p_lo[:0], p_hi[:0],
+        )
+    g_counts = np.add.reduceat(p_counts, g_start[:-1])
+    g_lo = np.minimum.reduceat(p_lo, g_start[:-1], axis=0)
+    g_hi = np.maximum.reduceat(p_hi, g_start[:-1], axis=0)
+    return g_start, g_counts, g_lo, g_hi
 
 
 def build_layout(
@@ -340,12 +388,18 @@ def build_layout(
     p_salt_n = np.clip(
         -(-p_counts // max_cell_rows), 1, 1 << SALT_BITS
     ).astype(np.int64)
-    leaf_slo = leaf_shi = p_slo = p_shi = None
+    # admission groups over the ancestor-ordered partitions (boxes built
+    # on the FULL stats width so the slice below splits them identically)
+    p_anc = anc[p_start[:-1]]
+    g_start, g_counts, g_lo, g_hi = _build_groups(p_lo, p_hi, p_counts, p_anc)
+    leaf_slo = leaf_shi = p_slo = p_shi = g_slo = g_shi = None
     if stat_cols:
         leaf_slo, leaf_shi = leaf_lo[:, nd:], leaf_hi[:, nd:]
         p_slo, p_shi = p_lo[:, nd:], p_hi[:, nd:]
+        g_slo, g_shi = g_lo[:, nd:], g_hi[:, nd:]
         leaf_lo, leaf_hi = leaf_lo[:, :nd], leaf_hi[:, :nd]
         p_lo, p_hi = p_lo[:, :nd], p_hi[:, :nd]
+        g_lo, g_hi = g_lo[:, :nd], g_hi[:, :nd]
     return PoseLayout(
         leaf_keys=leaf_keys,
         leaf_counts=leaf_counts,
@@ -363,6 +417,12 @@ def build_layout(
         leaf_shi=leaf_shi,
         p_slo=p_slo,
         p_shi=p_shi,
+        g_start=g_start,
+        g_counts=g_counts,
+        g_lo=g_lo,
+        g_hi=g_hi,
+        g_slo=g_slo,
+        g_shi=g_shi,
     )
 
 
@@ -510,6 +570,52 @@ def _coarsen_nd(cell: np.ndarray, level: int, coarse: int, dims: int) -> np.ndar
     return out
 
 
+# per-process admission telemetry (driver-visible when called directly in
+# tests; per-worker otherwise).  dense_cells counts the group-matrix cells
+# swept, pair_tests the paired partition/leaf bound evaluations — the
+# scaling test asserts both grow with admitted GROUPS, never with P.
+ADMIT_STATS = {"dense_cells": 0, "pair_tests": 0}
+
+
+def _f32_outward(lo: np.ndarray, hi: np.ndarray):
+    """float32 copies of stats bboxes padded OUTWARD (lo rounded toward
+    -inf, hi toward +inf).  Every admission use is a superset test
+    (distance LOWER bounds shrink, upper bounds grow on a bigger box), so
+    halving the layout broadcast bytes costs at most a few extra
+    candidates — never a lost pair.  NumPy promotes the f32 bounds back to
+    f64 inside the distance kernels, so no mixed-precision surprises."""
+    lo32 = lo.astype(np.float32)
+    hi32 = hi.astype(np.float32)
+    lo32 = np.where(lo32 > lo, np.nextafter(lo32, np.float32(-np.inf)), lo32)
+    hi32 = np.where(hi32 < hi, np.nextafter(hi32, np.float32(np.inf)), hi32)
+    return lo32, hi32
+
+
+def _f32_pair(lo, hi):
+    """_f32_outward that passes None through (optional stats boxes)."""
+    if lo is None:
+        return None, None
+    return _f32_outward(lo, hi)
+
+
+def _expand_ranges(qi: np.ndarray, gi: np.ndarray, starts: np.ndarray):
+    """Pair-expand admitted (query, range) pairs to their members:
+    range gi spans starts[gi]..starts[gi+1].  Returns (qq, mem, off)
+    where off are per-pair offsets for reduceat-style reductions."""
+    counts = (starts[gi + 1] - starts[gi]).astype(np.int64)
+    total = int(counts.sum())
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, off
+    mem = np.repeat(starts[gi], counts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(off[:-1], counts)
+    )
+    qq = np.repeat(qi, counts)
+    return qq, mem, off
+
+
 def _partition_candidates(
     P: np.ndarray,
     bound: np.ndarray,
@@ -517,24 +623,38 @@ def _partition_candidates(
     home_pid: np.ndarray | None = None,
     scale: float = 1.0,
 ):
-    """Admit (query, PARTITION) pairs: a partition is admitted when its
-    union box passes AND at least one member leaf's tight bbox passes
-    scale * dist <= bound.  `home_pid` partitions are skipped (fully
-    probed in phase 1).  Returns (qi, pid) arrays."""
-    leaf_lo, leaf_hi, p_lo, p_hi, p_start = layout_arrays
-    dmin_p = scale * _bbox_min_dist(P, p_lo, p_hi)
-    adm = dmin_p <= bound[:, None]
+    """Admit (query, PARTITION) pairs through THREE levels — dense only at
+    the top: (1) a (chunk, G) sweep of group union boxes (G ~ sqrt(P)),
+    (2) paired tests of the admitted groups' member partitions, (3) paired
+    tests of admitted partitions' member leaves (any-pass).  Per-chunk
+    work is O(chunk * G + admitted-group members) — independent of P for
+    selective queries (the reference's ordered volume traversal one level
+    up, ``src/_so3space.hpp:401-423``).  `home_pid` partitions are skipped
+    (fully probed in phase 1).  Returns (qi, pid) arrays."""
+    leaf_lo, leaf_hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start = layout_arrays
+    dmin_g = scale * _bbox_min_dist(P, g_lo, g_hi)
+    ADMIT_STATS["dense_cells"] += dmin_g.size
+    qi_g, gi_g = np.nonzero(dmin_g <= bound[:, None])
+    z = np.empty(0, dtype=np.int64)
+    if len(qi_g) == 0:
+        return z, z
+    qq, pi_a, _ = _expand_ranges(qi_g, gi_g, g_start)
+    ADMIT_STATS["pair_tests"] += len(qq)
+    ok = (
+        scale * _bbox_min_dist_pairs(P[qq], p_lo[pi_a], p_hi[pi_a])
+        <= bound[qq]
+    )
     if home_pid is not None:
-        adm &= np.arange(len(p_lo))[None, :] != home_pid[:, None]
-    qi_a, pi_a = np.nonzero(adm)
+        ok &= pi_a != home_pid[qq]
+    qi_a, pi_a = qq[ok], pi_a[ok]
     if len(qi_a) == 0:
-        z = np.empty(0, dtype=np.int64)
         return z, z
 
-    def test(qq, li):
+    def test(qq_, li):
+        ADMIT_STATS["pair_tests"] += len(qq_)
         return (
-            scale * _bbox_min_dist_pairs(P[qq], leaf_lo[li], leaf_hi[li])
-            <= bound[qq]
+            scale * _bbox_min_dist_pairs(P[qq_], leaf_lo[li], leaf_hi[li])
+            <= bound[qq_]
         )
 
     ok = _leaf_any_pass(qi_a, pi_a, p_start, test)
@@ -595,16 +715,9 @@ def _leaf_any_pass(qi_a, pi_a, p_start, test_fn):
     per-partition loop this replaces measured ~0.8 ms/query at 4k
     partitions; leaves-per-partition is small, so the expansion is a few
     rows per admitted pair)."""
-    counts = (p_start[pi_a + 1] - p_start[pi_a]).astype(np.int64)
-    total = int(counts.sum())
-    if total == 0:
+    qq, li, off = _expand_ranges(qi_a, pi_a, p_start)
+    if len(qq) == 0:
         return np.zeros(len(qi_a), dtype=bool)
-    off = np.zeros(len(counts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=off[1:])
-    li = np.repeat(p_start[pi_a], counts) + (
-        np.arange(total, dtype=np.int64) - np.repeat(off[:-1], counts)
-    )
-    qq = np.repeat(qi_a, counts)
     ok = test_fn(qq, li)
     return np.bitwise_or.reduceat(ok, off[:-1])
 
@@ -630,29 +743,48 @@ def _se3_partition_candidates(
     result is identical while corpora whose rotations span every cell
     (rot_lb ~ 0 everywhere) pay near-zero extra admission cost.  When the
     layout carries no rotation statistics this degrades to the round-3
-    translation-only bound."""
+    translation-only bound.
+
+    Same three-level shape as :func:`_partition_candidates`: dense ONLY
+    over the (chunk, G) group matrix, paired expansion below it."""
     (leaf_lo, leaf_hi, leaf_rlo, leaf_rhi,
-     p_lo, p_hi, p_rlo, p_rhi, p_start) = layout_arrays
+     p_lo, p_hi, p_rlo, p_rhi, p_start,
+     g_lo, g_hi, g_rlo, g_rhi, g_start) = layout_arrays
     use_rot = rw > 0.0 and p_rlo is not None
-    dmin_p = tw * _bbox_min_dist(T, p_lo, p_hi)
-    adm = dmin_p <= bound[:, None]
+    z = np.empty(0, dtype=np.int64)
+    dmin_g = tw * _bbox_min_dist(T, g_lo, g_hi)
+    ADMIT_STATS["dense_cells"] += dmin_g.size
+    qi_g, gi_g = np.nonzero(dmin_g <= bound[:, None])
+    if use_rot and len(qi_g) > 0:
+        extra = rw * _rot_lb_pairs(R[qi_g], g_rlo[gi_g], g_rhi[gi_g])
+        keep = dmin_g[qi_g, gi_g] + extra <= bound[qi_g]
+        qi_g, gi_g = qi_g[keep], gi_g[keep]
+    if len(qi_g) == 0:
+        return z, z
+    qq, pi_a, _ = _expand_ranges(qi_g, gi_g, g_start)
+    ADMIT_STATS["pair_tests"] += len(qq)
+    d = tw * _bbox_min_dist_pairs(T[qq], p_lo[pi_a], p_hi[pi_a])
+    ok = d <= bound[qq]
     if home_pid is not None:
-        adm &= np.arange(len(p_lo))[None, :] != home_pid[:, None]
-    if use_rot and adm.any():
-        qi_a, pi_a = np.nonzero(adm)
-        extra = rw * _rot_lb_pairs(R[qi_a], p_rlo[pi_a], p_rhi[pi_a])
-        bad = dmin_p[qi_a, pi_a] + extra > bound[qi_a]
-        adm[qi_a[bad], pi_a[bad]] = False
-    qi_a, pi_a = np.nonzero(adm)
+        ok &= pi_a != home_pid[qq]
+    if use_rot:
+        idx = np.nonzero(ok)[0]
+        if len(idx) > 0:
+            extra = rw * _rot_lb_pairs(
+                R[qq[idx]], p_rlo[pi_a[idx]], p_rhi[pi_a[idx]]
+            )
+            bad = d[idx] + extra > bound[qq[idx]]
+            ok[idx[bad]] = False
+    qi_a, pi_a = qq[ok], pi_a[ok]
     if len(qi_a) == 0:
-        z = np.empty(0, dtype=np.int64)
         return z, z
 
-    def test(qq, li):
-        d = tw * _bbox_min_dist_pairs(T[qq], leaf_lo[li], leaf_hi[li])
+    def test(qq_, li):
+        ADMIT_STATS["pair_tests"] += len(qq_)
+        d_ = tw * _bbox_min_dist_pairs(T[qq_], leaf_lo[li], leaf_hi[li])
         if use_rot and leaf_rlo is not None:
-            d = d + rw * _rot_lb_pairs(R[qq], leaf_rlo[li], leaf_rhi[li])
-        return d <= bound[qq]
+            d_ = d_ + rw * _rot_lb_pairs(R[qq_], leaf_rlo[li], leaf_rhi[li])
+        return d_ <= bound[qq_]
 
     ok = _leaf_any_pass(qi_a, pi_a, p_start, test)
     return qi_a[ok], pi_a[ok]
@@ -1015,19 +1147,22 @@ def _so3_knn_on_index(
 
     bc = spark.sparkContext.broadcast(
         (
-            layout.leaf_counts, layout.leaf_lo, layout.leaf_hi,
-            layout.p_lo, layout.p_hi, layout.p_start,
+            *_f32_outward(layout.leaf_lo, layout.leaf_hi),
+            *_f32_outward(layout.p_lo, layout.p_hi), layout.p_start,
+            layout.g_counts,
+            *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start,
         )
     )
 
     def gen(batches):
-        counts, lo, hi, p_lo, p_hi, p_start = bc.value
-        C = len(counts)
-        la = (lo, hi, p_lo, p_hi, p_start)
+        (lo, hi, p_lo, p_hi, p_start,
+         g_counts, g_lo, g_hi, g_start) = bc.value
+        G = len(g_counts)
+        la = (lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
         vmin = np.full(4, -1.0)
         vspan = np.full(4, 2.0)
         for pdf in batches:
-            if len(pdf) == 0 or C == 0:
+            if len(pdf) == 0 or G == 0:
                 continue
             C4 = pdf[ccols].to_numpy(np.float64)
             given = pdf["bound"].to_numpy(np.float64)
@@ -1036,20 +1171,27 @@ def _so3_knn_on_index(
             kn_pid = pdf["kn_pid"].to_numpy(np.int64)
             qid = pdf["query_id"].to_numpy()
             n_leaf = (np.int64(1) << (kp >> LVL_SHIFT)).astype(np.int64)
-            chunk = max(256, 8_000_000 // max(C, 1))
+            # chunk on the GROUP matrix — (chunk, G) stays ~64 MB however
+            # large the corpus (G ~ sqrt(P), not P)
+            chunk = max(256, 8_000_000 // max(G, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P4 = C4[sl]
                 b = given[sl].copy()
                 nb = np.nonzero(~np.isfinite(b))[0]
                 if len(nb) > 0:
+                    # statistics-only fallback at GROUP granularity: the
+                    # union-box dmax still upper-bounds every member, so
+                    # walking groups by dmax until g_counts cover k stays
+                    # a valid (looser) kth bound — and the dense sweep is
+                    # (nb, G), never (nb, leaves)
                     dps = [
-                        _bbox_min_max_dist(s * P4[nb], lo, hi)
+                        _bbox_min_max_dist(s * P4[nb], g_lo, g_hi)
                         for s in (1.0, -1.0)
                     ]
                     b[nb] = np.minimum(
-                        _count_bound(dps[0][0], dps[0][1], counts, k),
-                        _count_bound(dps[1][0], dps[1][1], counts, k),
+                        _count_bound(dps[0][0], dps[0][1], g_counts, k),
+                        _count_bound(dps[1][0], dps[1][1], g_counts, k),
                     )
                 # home-edge exit against the query's OWN leaf cell (its
                 # level encodes the width — refined leaves test tighter)
@@ -1284,18 +1426,21 @@ def _so3_radius_on_index(
     pid_salts = _pid_salts(spark, layout)
 
     bc = spark.sparkContext.broadcast(
-        (layout.leaf_lo, layout.leaf_hi, layout.p_lo, layout.p_hi, layout.p_start)
+        (*_f32_outward(layout.leaf_lo, layout.leaf_hi),
+         *_f32_outward(layout.p_lo, layout.p_hi),
+         layout.p_start,
+         *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start)
     )
 
     def gen(batches):
-        lo, hi, p_lo, p_hi, p_start = bc.value
-        la = (lo, hi, p_lo, p_hi, p_start)
+        lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start = bc.value
+        la = (lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
         for pdf in batches:
             if len(pdf) == 0 or len(lo) == 0:
                 continue
             C4 = pdf[ccols].to_numpy(np.float64)
             qid = pdf["query_id"].to_numpy()
-            chunk = max(256, 8_000_000 // max(len(lo), 1))
+            chunk = max(256, 8_000_000 // max(len(g_lo), 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P4 = C4[sl]
@@ -1536,24 +1681,30 @@ def _se3_radius_on_index(
     r_pad = r * (1.0 + 1e-12) + 1e-15
     bc = spark.sparkContext.broadcast(
         (
-            layout.leaf_lo, layout.leaf_hi, layout.leaf_slo, layout.leaf_shi,
-            layout.p_lo, layout.p_hi, layout.p_slo, layout.p_shi,
+            *_f32_outward(layout.leaf_lo, layout.leaf_hi),
+            *_f32_pair(layout.leaf_slo, layout.leaf_shi),
+            *_f32_outward(layout.p_lo, layout.p_hi),
+            *_f32_pair(layout.p_slo, layout.p_shi),
             layout.p_start,
+            *_f32_outward(layout.g_lo, layout.g_hi),
+            *_f32_pair(layout.g_slo, layout.g_shi),
+            layout.g_start,
         )
     )
 
     def gen(batches):
         la = bc.value
         lo = la[0]
+        g_lo = la[9]
         for pdf in batches:
             if len(pdf) == 0 or len(lo) == 0:
                 continue
             T = pdf[list(TCOLS)].to_numpy(np.float64)
             QR = pdf[list(QCOLS)].to_numpy(np.float64)
             QR = QR * canon_sign_np(QR)[:, None]
-            # chunk on the PARTITION matrix (the leaf stage is pair-
-            # expanded now, never a (chunk, leaves) matrix)
-            chunk = max(256, 8_000_000 // max(len(la[4]), 1))
+            # chunk on the GROUP matrix (partition + leaf stages are
+            # pair-expanded — never dense)
+            chunk = max(256, 8_000_000 // max(len(g_lo), 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P3 = T[sl]
@@ -1820,22 +1971,29 @@ def _se3_knn_on_index(
     # ---- phase 2: partition admission within the compound bound ---------
     bc = spark.sparkContext.broadcast(
         (
-            layout.leaf_counts, layout.leaf_lo, layout.leaf_hi,
-            layout.leaf_slo, layout.leaf_shi,
-            layout.p_lo, layout.p_hi, layout.p_slo, layout.p_shi,
+            *_f32_outward(layout.leaf_lo, layout.leaf_hi),
+            *_f32_pair(layout.leaf_slo, layout.leaf_shi),
+            *_f32_outward(layout.p_lo, layout.p_hi),
+            *_f32_pair(layout.p_slo, layout.p_shi),
             layout.p_start,
+            layout.g_counts,
+            *_f32_outward(layout.g_lo, layout.g_hi),
+            *_f32_pair(layout.g_slo, layout.g_shi),
+            layout.g_start,
         )
     )
     vmin_a = np.array([lo for lo, _ in b3])
     vspan_a = np.array([span for _, span in b3])
 
     def gen(batches):
-        (counts, lo, hi, slo, shi,
-         p_lo, p_hi, p_slo, p_shi, p_start) = bc.value
-        C = len(counts)
-        la = (lo, hi, slo, shi, p_lo, p_hi, p_slo, p_shi, p_start)
+        (lo, hi, slo, shi,
+         p_lo, p_hi, p_slo, p_shi, p_start,
+         g_counts, g_lo, g_hi, g_slo, g_shi, g_start) = bc.value
+        G = len(g_counts)
+        la = (lo, hi, slo, shi, p_lo, p_hi, p_slo, p_shi, p_start,
+              g_lo, g_hi, g_slo, g_shi, g_start)
         for pdf in batches:
-            if len(pdf) == 0 or C == 0:
+            if len(pdf) == 0 or G == 0:
                 continue
             T = pdf[list(TCOLS)].to_numpy(np.float64)
             QR = pdf[list(QCOLS)].to_numpy(np.float64)
@@ -1844,27 +2002,27 @@ def _se3_knn_on_index(
             home = pdf["home_pid"].to_numpy(np.int64)
             hk = pdf["hk"].to_numpy(np.int64)
             n_leaf = (np.int64(1) << (hk >> LVL_SHIFT)).astype(np.int64)
-            chunk = max(256, 8_000_000 // max(C, 1))
+            chunk = max(256, 8_000_000 // max(G, 1))
             for c0 in range(0, len(pdf), chunk):
                 sl = slice(c0, min(c0 + chunk, len(pdf)))
                 P3 = T[sl]
                 b = given[sl].copy()
                 nb = np.nonzero(~np.isfinite(b))[0]
                 if len(nb) > 0:
-                    # fallback count-bound: compound upper bound — the
-                    # rotation term from the leaf rotation bboxes when the
-                    # layout carries them, else the angular diameter
-                    # (home had < k poses)
-                    dmin, dmax = _bbox_min_max_dist(P3[nb], lo, hi)
-                    if rw > 0.0 and slo is not None:
-                        ub = tw * dmax + rw * _rot_ub(QR[sl][nb], slo, shi)
+                    # fallback count-bound at GROUP granularity (home had
+                    # < k poses): compound upper bound — union-box dmax
+                    # covers every member pose, rotation term from group
+                    # rotation bboxes when carried, else angular diameter
+                    dmin, dmax = _bbox_min_max_dist(P3[nb], g_lo, g_hi)
+                    if rw > 0.0 and g_slo is not None:
+                        ub = tw * dmax + rw * _rot_ub(QR[sl][nb], g_slo, g_shi)
                     else:
                         ub = tw * dmax + rot_diam
                     order = np.argsort(ub, axis=1, kind="stable")
-                    cum = np.cumsum(counts[order], axis=1)
+                    cum = np.cumsum(g_counts[order], axis=1)
                     need = np.argmax(cum >= k, axis=1)
                     enough = cum[:, -1] >= k
-                    need = np.where(enough, need, C - 1)
+                    need = np.where(enough, need, G - 1)
                     rr = np.arange(len(need))
                     b[nb] = np.where(
                         enough,

@@ -150,3 +150,141 @@ def test_multistep_refinement_descent(spark):
         srt = np.lexsort((pids, D[i]))[:5]
         got_q = res[res["query_id"] == f"q{i:06d}"]
         assert list(got_q["pose_id"]) == list(pids[srt]), f"query {i}"
+
+
+def _line_layout(P, leaf_per_p=1, with_rot=False, rng=None):
+    """Synthetic wide layout: P partitions tiling [0, P] on the x axis
+    (thin in y/z), leaf arrays = partition arrays, ancestors every 64 —
+    pure NumPy, no Spark."""
+    C = P * leaf_per_p
+    edges = np.linspace(0.0, float(P), C + 1)
+    leaf_lo = np.column_stack(
+        [edges[:-1], np.zeros(C), np.zeros(C)]
+    )
+    leaf_hi = np.column_stack(
+        [edges[1:], np.ones(C) * 1e-3, np.ones(C) * 1e-3]
+    )
+    p_start = np.arange(0, C + 1, leaf_per_p, dtype=np.int64)
+    p_lo = leaf_lo[p_start[:-1]]
+    p_hi = leaf_hi[p_start[1:] - 1]
+    p_counts = np.full(P, 100, np.int64)
+    p_anc = np.arange(P, dtype=np.int64) // 64
+    g_start, g_counts, g_lo, g_hi = S._build_groups(
+        p_lo, p_hi, p_counts, p_anc
+    )
+    rot = None
+    if with_rot:
+        q = rng.normal(size=(C, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q *= S.canon_sign_np(q)[:, None]
+        leaf_rlo = q - 0.01
+        leaf_rhi = q + 0.01
+        p_rlo = np.minimum.reduceat(leaf_rlo, p_start[:-1], axis=0)
+        p_rhi = np.maximum.reduceat(leaf_rhi, p_start[:-1], axis=0)
+        g_rlo = np.minimum.reduceat(p_rlo, g_start[:-1], axis=0)
+        g_rhi = np.maximum.reduceat(p_rhi, g_start[:-1], axis=0)
+        rot = (leaf_rlo, leaf_rhi, p_rlo, p_rhi, g_rlo, g_rhi)
+    return (leaf_lo, leaf_hi, p_lo, p_hi, p_start,
+            g_lo, g_hi, g_start, g_counts, rot)
+
+
+def test_admission_work_scales_with_groups_not_partitions():
+    """VERDICT-r4 weak item: per-chunk admission work must be
+    O(chunk * G + admitted members), never O(chunk * P) — at P = 100k a
+    selective query's paired tests stay in the thousands."""
+    P = 100_000
+    (leaf_lo, leaf_hi, p_lo, p_hi, p_start,
+     g_lo, g_hi, g_start, g_counts, _) = _line_layout(P)
+    G = len(g_counts)
+    # G ~ sqrt(P) within the anc-boundary slack of _build_groups
+    assert G <= 4 * int(np.sqrt(P)), G
+    nq = 64
+    qx = np.random.default_rng(7).uniform(10, P - 10, nq)
+    Q = np.column_stack([qx, np.zeros(nq), np.zeros(nq)])
+    bound = np.full(nq, 2.0)
+    la = (leaf_lo, leaf_hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
+    S.ADMIT_STATS.update(dense_cells=0, pair_tests=0)
+    qi, pid = S._partition_candidates(Q, bound, la)
+    # correctness vs brute force over ALL partition boxes
+    dmin = S._bbox_min_dist(Q, p_lo, p_hi)
+    bq, bp = np.nonzero(dmin <= bound[:, None])
+    assert set(zip(qi.tolist(), pid.tolist())) == set(
+        zip(bq.tolist(), bp.tolist())
+    )
+    # dense stage swept the GROUP matrix only
+    assert S.ADMIT_STATS["dense_cells"] == nq * G
+    # paired work: admitted groups expand to <= ~2 groups x group size
+    # per query (+ leaf tests on survivors) — far below P per query
+    per_query_pairs = S.ADMIT_STATS["pair_tests"] / nq
+    assert per_query_pairs < 20 * np.sqrt(P), per_query_pairs
+    assert per_query_pairs < P / 50
+
+
+def test_group_admission_identical_to_dense_partition_admission():
+    """The group stage is a provable superset filter: 3-level admission
+    must return EXACTLY the pairs the old dense partition sweep did —
+    randomized boxes, both engines, with and without rotation stats."""
+    rng = np.random.default_rng(42)
+    P = 500
+    (leaf_lo, leaf_hi, p_lo, p_hi, p_start,
+     g_lo, g_hi, g_start, g_counts, rot) = _line_layout(
+        P, leaf_per_p=3, with_rot=True, rng=rng
+    )
+    leaf_rlo, leaf_rhi, p_rlo, p_rhi, g_rlo, g_rhi = rot
+    nq = 200
+    Q = np.column_stack(
+        [rng.uniform(0, P, nq), np.zeros(nq), np.zeros(nq)]
+    )
+    bound = rng.uniform(0.5, 30.0, nq)
+    la = (leaf_lo, leaf_hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
+    qi, pid = S._partition_candidates(Q, bound, la)
+    # reference: dense over partitions + leaf any-pass (round-4 shape)
+    adm = S._bbox_min_dist(Q, p_lo, p_hi) <= bound[:, None]
+    bq, bp = np.nonzero(adm)
+    ok = S._leaf_any_pass(
+        bq, bp, p_start,
+        lambda qq, li: S._bbox_min_dist_pairs(
+            Q[qq], leaf_lo[li], leaf_hi[li]) <= bound[qq],
+    )
+    assert set(zip(qi.tolist(), pid.tolist())) == set(
+        zip(bq[ok].tolist(), bp[ok].tolist())
+    )
+    # SE(3) compound: rotation-aware 3-level vs dense reference
+    QR = rng.normal(size=(nq, 4))
+    QR /= np.linalg.norm(QR, axis=1, keepdims=True)
+    QR *= S.canon_sign_np(QR)[:, None]
+    tw, rw = 0.5, 2.0
+    cb = rng.uniform(1.0, 20.0, nq)
+    la14 = (leaf_lo, leaf_hi, leaf_rlo, leaf_rhi,
+            p_lo, p_hi, p_rlo, p_rhi, p_start,
+            g_lo, g_hi, g_rlo, g_rhi, g_start)
+    qi, pid = S._se3_partition_candidates(Q, QR, cb, la14, tw, rw)
+    d = tw * S._bbox_min_dist(Q, p_lo, p_hi)
+    adm = d <= cb[:, None]
+    bq, bp = np.nonzero(adm)
+    rl = rw * S._rot_lb_pairs(QR[bq], p_rlo[bp], p_rhi[bp])
+    keep = d[bq, bp] + rl <= cb[bq]
+    bq, bp = bq[keep], bp[keep]
+    ok = S._leaf_any_pass(
+        bq, bp, p_start,
+        lambda qq, li: (
+            tw * S._bbox_min_dist_pairs(Q[qq], leaf_lo[li], leaf_hi[li])
+            + rw * S._rot_lb_pairs(QR[qq], leaf_rlo[li], leaf_rhi[li])
+        ) <= cb[qq],
+    )
+    assert set(zip(qi.tolist(), pid.tolist())) == set(
+        zip(bq[ok].tolist(), bp[ok].tolist())
+    )
+
+
+def test_f32_outward_padding_is_superset_and_halves_bytes():
+    rng = np.random.default_rng(3)
+    lo = rng.normal(size=(5000, 4)) * 1e3
+    hi = lo + np.abs(rng.normal(size=(5000, 4)))
+    lo32, hi32 = S._f32_outward(lo, hi)
+    assert lo32.dtype == np.float32 and hi32.dtype == np.float32
+    # outward: every f64 box is CONTAINED in its f32 box
+    assert (lo32.astype(np.float64) <= lo).all()
+    assert (hi32.astype(np.float64) >= hi).all()
+    assert lo32.nbytes * 2 == lo.nbytes
+    assert S._f32_pair(None, None) == (None, None)

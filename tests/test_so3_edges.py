@@ -243,17 +243,19 @@ def test_se3_rotation_aware_admission(spark):
         poses, b3, so3engine.level_for_poses(len(T), dims=3), 256
     )
     qRc = qR * so3engine.canon_sign_np(qR)[:, None]
-    la9 = (
+    la14 = (
         layout.leaf_lo, layout.leaf_hi, layout.leaf_slo, layout.leaf_shi,
         layout.p_lo, layout.p_hi, layout.p_slo, layout.p_shi, layout.p_start,
+        layout.g_lo, layout.g_hi, layout.g_slo, layout.g_shi, layout.g_start,
     )
     r_pad = r * (1.0 + 1e-12) + 1e-15
     qi_c, _ = so3engine._se3_partition_candidates(
-        qT, qRc, np.full(nq, r_pad), la9, tw, rw
+        qT, qRc, np.full(nq, r_pad), la14, tw, rw
     )
-    la5 = (layout.leaf_lo, layout.leaf_hi, layout.p_lo, layout.p_hi, layout.p_start)
+    la8 = (layout.leaf_lo, layout.leaf_hi, layout.p_lo, layout.p_hi,
+           layout.p_start, layout.g_lo, layout.g_hi, layout.g_start)
     t_r = (r / tw) * (1.0 + 1e-12) + 1e-15
-    qi_t, _ = so3engine._partition_candidates(qT, np.full(nq, t_r), la5)
+    qi_t, _ = so3engine._partition_candidates(qT, np.full(nq, t_r), la8)
     assert len(qi_c) < 0.5 * len(qi_t), (len(qi_c), len(qi_t))
 
     # rot-dominant kNN exactness through the same rotation-aware gate
