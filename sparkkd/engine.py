@@ -83,6 +83,31 @@ def _release_registry(registry: list[DataFrame]) -> None:
             pass
 
 
+# Above this many probed part_keys an IN-list stops being the right plan:
+# execution stays O(1)/row (OptimizeIn -> InSet hash probe) but the
+# literal list inflates the plan tree — parse/analysis and plan shipping
+# grow linearly, and at 10^5+ touched partitions that dominates.  A
+# broadcast LEFT SEMI join ships one small hash relation instead.
+_INSET_MAX_KEYS = 10_000
+
+
+def _probe_filter(spark: SparkSession, df: DataFrame, keys) -> DataFrame:
+    """Filter df to the probed part_keys: InSet pushdown below
+    _INSET_MAX_KEYS, broadcast semi-join above it.  The key list always
+    comes from an already-paid collect (it fills the candidate cache), so
+    this changes only the filter RENDERING, never adds a job."""
+    if not keys:
+        return df.filter(F.lit(False))
+    if len(keys) <= _INSET_MAX_KEYS:
+        return df.filter(F.col("part_key").isin(keys))
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"part_key": np.asarray(keys, dtype=np.int64)})
+        )
+    )
+    return df.join(kdf, "part_key", "left_semi")
+
+
 def release_caches() -> None:
     """Unpersist intermediates from prior ONE-SHOT join calls (GeoIndex /
     So3Index / Se3Index instances release their own on each new join /
@@ -814,9 +839,7 @@ def _knn_join_on_index(
     # touched cells still matters: without it the whole corpus
     # re-shuffles for a handful of boundary queries.
     keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
-    img_probe = img_salted.filter(
-        F.col("part_key").isin(keys) if keys else F.lit(False)
-    )
+    img_probe = _probe_filter(spark, img_salted, keys)
     p2 = (
         p2_cand.groupby("part_key")
         .cogroup(img_probe.groupby("part_key"))

@@ -73,7 +73,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import kernel
-from .engine import _register_cache, _release_registry
+from .engine import _register_cache, _release_registry, _probe_filter
 
 SALT_BITS = 12
 LVL_SHIFT = 48  # leaf key = (level << LVL_SHIFT) | cell  (cell < 2^(d*10))
@@ -1236,9 +1236,7 @@ def _so3_knn_on_index(
     # p2_cand cache AND yields the probed part_keys as an InSet pushdown
     # (replaces the round-3 count job + broadcast-exchange job)
     keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
-    corp_probe = corpus.filter(
-        F.col("part_key").isin(keys) if keys else F.lit(False)
-    )
+    corp_probe = _probe_filter(spark, corpus, keys)
 
     def p2_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1347,9 +1345,7 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
         s_ = min(256, max(1, -(-work // split_target)))
         if s_ > 1:
             splits[k_] = s_
-    base_probe = corpus.filter(
-        F.col("part_key").isin(keys) if keys else F.lit(False)
-    )
+    base_probe = _probe_filter(spark, corpus, keys)
     if not splits:
         return (
             cand.withColumn("gsalt", F.lit(0).cast("int")),
@@ -2060,9 +2056,7 @@ def _se3_knn_on_index(
     # ONE builder job: collect fills both caches + InSet probe pushdown
     # (see _so3_knn_on_index)
     keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
-    corp_probe = corpus.filter(
-        F.col("part_key").isin(keys) if keys else F.lit(False)
-    )
+    corp_probe = _probe_filter(spark, corpus, keys)
     p2 = (
         p2_cand.groupby("part_key")
         .cogroup(corp_probe.groupby("part_key"))
