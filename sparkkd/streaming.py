@@ -282,6 +282,77 @@ def sessionize(events: DataFrame, gap_us: int = 300_000_000) -> DataFrame:
     )
 
 
+def _sessionize_batch(ts_us, vals, cur, gap_us):
+    """Vectorized gaps-and-islands over ONE sorted batch of a user's
+    events.  ``cur`` is the open session ``(start_us, end_us, n, total)``
+    or None.  Returns ``(closed_sessions, new_cur)``.
+
+    The open state session absorbs the batch PREFIX: its running end
+    after merging events [0, i) is ``max(e0, ts_us[i-1])`` (batch
+    ascending), so the first index where
+    ``ts_us[i] - max(e0, ts_us[i-1]) > gap`` closes it.  Past that point
+    e0 is irrelevant and plain ``diff(ts) > gap`` segments the rest.
+    Segment totals come from ``np.add.reduceat`` (pairwise summation —
+    within float epsilon of a scalar loop; emitted values are rounded
+    to 2 decimals downstream, so the order never shows)."""
+    import numpy as np
+
+    closed: list[tuple[int, int, int, float]] = []
+    n = len(ts_us)
+    if not n:
+        return closed, cur
+    if cur is not None:
+        s0, e0, n0, t0 = cur
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = e0
+        if n > 1:
+            np.maximum(ts_us[:-1], e0, out=prev[1:])
+        sb = (ts_us - prev) > gap_us
+        k = int(np.argmax(sb)) if sb.any() else n
+        if k == 0:
+            closed.append((int(s0), int(e0), int(n0), float(t0)))
+            cur = None
+        else:
+            pref = float(np.add.reduceat(vals[:k], [0])[0])
+            cur = (
+                int(s0),
+                int(max(e0, ts_us[k - 1])),
+                int(n0) + k,
+                float(t0) + pref,
+            )
+            if k < n:
+                closed.append(cur)
+                cur = None
+    else:
+        k = 0
+    if k < n:
+        rest_ts = ts_us[k:]
+        rest_v = vals[k:]
+        brk = np.empty(len(rest_ts), dtype=bool)
+        brk[0] = True
+        brk[1:] = (rest_ts[1:] - rest_ts[:-1]) > gap_us
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(rest_ts))
+        sums = np.add.reduceat(rest_v, starts)
+        for i in range(len(starts) - 1):
+            closed.append(
+                (
+                    int(rest_ts[starts[i]]),
+                    int(rest_ts[ends[i] - 1]),
+                    int(ends[i] - starts[i]),
+                    float(sums[i]),
+                )
+            )
+        j = len(starts) - 1
+        cur = (
+            int(rest_ts[starts[j]]),
+            int(rest_ts[-1]),
+            int(len(rest_ts) - starts[j]),
+            float(sums[j]),
+        )
+    return closed, cur
+
+
 def stream_sessionize(
     events: DataFrame,
     gap_us: int = 300_000_000,
@@ -338,15 +409,8 @@ def stream_sessionize(
         )
         vals = rows["value"].to_numpy()
         cur = state.get if state.exists else None  # (start, end, n, total)
-        for t_us, v in zip(ts_us, vals):
-            t_us = int(t_us)
-            if cur is None:
-                cur = (t_us, t_us, 1, float(v))
-            elif t_us - cur[1] > gap_us:
-                closed.append(cur)
-                cur = (t_us, t_us, 1, float(v))
-            else:
-                cur = (cur[0], max(cur[1], t_us), cur[2] + 1, cur[3] + float(v))
+        seg_closed, cur = _sessionize_batch(ts_us, vals, cur, gap_us)
+        closed.extend(seg_closed)
         state.update(cur)
         # close the open session once event time passes end + gap
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000 + 1)

@@ -364,3 +364,65 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         assert abs(r.total_value - round(b.total_value, 2)) < 1e-9
     # no session emitted twice
     assert got.duplicated(["user_id", "session_start_us"]).sum() == 0
+
+
+def test_sessionize_batch_kernel_matches_scalar():
+    """_sessionize_batch (the vectorized applyInPandasWithState kernel)
+    vs a scalar event loop, across randomized multi-batch streams —
+    including states whose end exceeds every batch timestamp (late
+    events inside the watermark) and single-event batches."""
+    import numpy as np
+
+    from sparkkd.streaming import _sessionize_batch
+
+    rng = np.random.default_rng(7)
+    gap_us = 1_000
+    for trial in range(200):
+        n_ev = int(rng.integers(1, 40))
+        # clustered timestamps so both merges and breaks occur
+        ts = np.sort(
+            rng.integers(0, 20_000, size=n_ev).astype(np.int64)
+        )
+        vals = np.round(rng.uniform(0.0, 10.0, size=n_ev), 2)
+        n_batches = int(rng.integers(1, 4))
+        cuts = np.sort(rng.integers(0, n_ev + 1, size=n_batches - 1))
+        bounds = [0, *cuts.tolist(), n_ev]
+
+        # scalar reference over the SAME batch sequence
+        def scalar(ts_us, vs, cur):
+            closed = []
+            for t, v in zip(ts_us, vs):
+                t = int(t)
+                if cur is None:
+                    cur = (t, t, 1, float(v))
+                elif t - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (t, t, 1, float(v))
+                else:
+                    cur = (
+                        cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(v)
+                    )
+            return closed, cur
+
+        cur_v = cur_s = None
+        if trial % 3 == 0:
+            # open state that may dominate the whole batch (late events)
+            e0 = int(rng.integers(0, 40_000))
+            cur_v = cur_s = (e0 - 5, e0, 3, 1.25)
+        all_v, all_s = [], []
+        for b in range(len(bounds) - 1):
+            lo, hi = bounds[b], bounds[b + 1]
+            cv, cur_v = _sessionize_batch(ts[lo:hi], vals[lo:hi], cur_v, gap_us)
+            cs, cur_s = scalar(ts[lo:hi], vals[lo:hi], cur_s)
+            all_v.extend(cv)
+            all_s.extend(cs)
+        def same(a, b):
+            # (start, end, n) exact; total within float-summation epsilon
+            return a[:3] == b[:3] and abs(a[3] - b[3]) < 1e-9
+
+        assert (cur_v is None) == (cur_s is None), trial
+        if cur_v is not None:
+            assert same(cur_v, cur_s), trial
+        assert len(all_v) == len(all_s), trial
+        for a, b in zip(all_v, all_s):
+            assert same(a, b), trial
