@@ -437,7 +437,19 @@ def ann_cosine_topk(
 
     Rank is computed on the 6dp-ROUNDED similarity (half-away-from-zero,
     matching SQL round; tie-broken by neighbor id) so independent engines
-    agree despite summation-order float noise."""
+    agree despite summation-order float noise.
+
+    The dominant (Q, N/B, d) matmul runs in FLOAT32 (embeddings are
+    float32 on disk and on the wire — ``list<float>`` parquet, no upcast
+    before the cogroup); per query, every candidate within 1e-3 of the
+    float32 kth similarity is RESCORED in float64 from the exact
+    float32->float64 cast of the raw vectors, reproducing the pure-f64
+    scores bit-for-bit.  The margin covers the worst-case f32 dot error
+    (~(d+2)*eps32 ~ 1e-5 at d=64) plus the 6dp round-tie width (1e-6),
+    so the selected set provably contains every true top-k candidate —
+    half the flops and a (Q, N/B) float32 (not float64) similarity
+    temporary, same answers (asserted against the full-f64 path in
+    tests and by the DuckDB oracle row)."""
     spark = embeddings.sparkSession
     n = embeddings.count()
     n_blocks = max(1, -(-n // block_rows))
@@ -454,30 +466,46 @@ def ann_cosine_topk(
         if len(left) == 0 or len(right) == 0:
             return empty
         ids = right["vec_id"].to_numpy(np.int64)
-        M = np.array(right["embedding"].tolist(), dtype=np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M32 = np.array(right["embedding"].tolist(), dtype=np.float32)
+        Mn32 = M32 / np.linalg.norm(M32, axis=1, keepdims=True)
+        # float64 normalization of the SAME raw values (f32->f64 cast is
+        # exact) — only gathered row-wise for rescoring, never matmul'd
+        M64 = M32.astype(np.float64)
+        Mn64 = M64 / np.linalg.norm(M64, axis=1, keepdims=True)
         out = []
         kk = min(k, len(ids))
         for c0 in range(0, len(left), 4096):  # memory-bounding chunk loop
             p = left.iloc[c0 : c0 + 4096]
-            q = np.array(p["embedding"].tolist(), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            q32 = np.array(p["embedding"].tolist(), dtype=np.float32)
+            qn32 = q32 / np.linalg.norm(q32, axis=1, keepdims=True)
+            q64 = q32.astype(np.float64)
+            qn64 = q64 / np.linalg.norm(q64, axis=1, keepdims=True)
             qids = p["vec_id"].to_numpy(np.int64)
-            simr = _round6_away(qn @ Mn.T)  # (Bq, Nb)
-            simr[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
-            order = np.lexsort(
-                (np.broadcast_to(ids, simr.shape), -simr), axis=1
-            )[:, :kk]
-            rows = np.repeat(qids, kk)
-            cols = order.ravel()
-            sims = simr[np.repeat(np.arange(len(qids)), kk), cols]
-            keep = np.isfinite(sims)  # drop self rows when the block is tiny
+            sim32 = qn32 @ Mn32.T  # (Bq, Nb) — the hot matmul, f32
+            sim32[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            # select every candidate within the error margin of the f32 kth
+            kth = np.partition(sim32, -kk, axis=1)[:, -kk]
+            rq, rc = np.nonzero(sim32 >= (kth[:, None] - np.float32(1e-3)))
+            # exact float64 rescore of selected pairs only
+            simr = _round6_away(
+                np.einsum("ij,ij->i", qn64[rq], Mn64[rc])
+            )
+            live = qids[rq] != ids[rc]  # re-drop self (ties at -inf rows)
+            rq, rc, simr = rq[live], rc[live], simr[live]
+            if len(rq) == 0:
+                continue
+            # exact per-query top-k by (sim desc, neighbor id asc)
+            srt = np.lexsort((ids[rc], -simr, rq))
+            rq, rc, simr = rq[srt], rc[srt], simr[srt]
+            first = np.searchsorted(rq, np.arange(len(qids)))
+            rank = np.arange(len(rq)) - first[rq]
+            keep = rank < kk
             out.append(
                 pd.DataFrame(
                     {
-                        "vec_id": rows[keep],
-                        "neighbor_id": ids[cols][keep],
-                        "sim": sims[keep],
+                        "vec_id": qids[rq[keep]],
+                        "neighbor_id": ids[rc[keep]],
+                        "sim": simr[keep],
                     }
                 )
             )

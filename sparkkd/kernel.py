@@ -38,7 +38,15 @@ This is the vectorized re-expression of the reference's core algorithms
   from step 2 over-estimates the true kth distance, so no true neighbor is
   ever pruned; step 4's final sort recovers the exact k.
 
-All arrays are float64/int64; no Python loops over rows or queries.
+Coordinates default to float64 but ``build(..., dtype=np.float32)`` stores
+and computes in float32 — the analogue of the reference's multi-scalar
+support (float/double/long double, ``src/_tuple.hpp:43-46``, exercised by
+``test/kdtree_test.cpp:297-306``).  Results are exact IN THAT dtype
+(verified against a same-dtype brute force): IEEE rounding is monotone,
+so the per-dim bbox bound ``fl(max(lo-q, q-hi, 0)) <= fl(|q-p|)`` holds
+in every precision and the distToRegion prune never drops a true
+neighbor.  A float32 tree halves kernel memory and scan bandwidth; keep
+float64 (the default) wherever DuckDB-oracle bit-parity is required.
 """
 
 from __future__ import annotations
@@ -52,7 +60,7 @@ import numpy as np
 class KDTree:
     """Implicit-array k-d tree over one partition (cell) of points."""
 
-    points: np.ndarray  # (n, d) float64, leaf-contiguous order
+    points: np.ndarray  # (n, d) float32/float64, leaf-contiguous order
     perm: np.ndarray  # (n,) int64: points[i] == original[perm[i]]
     leaf_start: np.ndarray  # (L+1,) int64 offsets into points
     leaf_lo: np.ndarray  # (L, d) per-leaf bbox lows (tight, from points)
@@ -70,12 +78,22 @@ class KDTree:
         return len(self.leaf_start) - 1
 
 
-def build(points: np.ndarray, leaf_size: int | None = None) -> KDTree:
+def build(
+    points: np.ndarray,
+    leaf_size: int | None = None,
+    dtype: np.dtype | type = np.float64,
+) -> KDTree:
     """Median-split build (reference C1-C3). O(n log n), vectorized per range.
 
     leaf_size=None picks max(32, min(128, n/256)): measured sweet spot
-    balancing (Q x L) matrix size against per-leaf scan width."""
-    pts = np.ascontiguousarray(points, dtype=np.float64)
+    balancing (Q x L) matrix size against per-leaf scan width.
+
+    dtype: scalar type for stored coordinates and all query arithmetic
+    (np.float64 default; np.float32 halves memory/bandwidth — reference
+    multi-scalar parity, ``src/_tuple.hpp:43-46``)."""
+    dt = np.dtype(dtype)
+    assert dt in (np.dtype(np.float32), np.dtype(np.float64)), dt
+    pts = np.ascontiguousarray(points, dtype=dt)
     n, d = pts.shape
     if leaf_size is None:
         leaf_size = max(32, min(128, n // 256))
@@ -84,8 +102,8 @@ def build(points: np.ndarray, leaf_size: int | None = None) -> KDTree:
             points=pts,
             perm=np.empty(0, dtype=np.int64),
             leaf_start=np.zeros(1, dtype=np.int64),
-            leaf_lo=np.empty((0, d), dtype=np.float64),
-            leaf_hi=np.empty((0, d), dtype=np.float64),
+            leaf_lo=np.empty((0, d), dtype=dt),
+            leaf_hi=np.empty((0, d), dtype=dt),
             node_axis=np.empty(0, dtype=np.int8),
             node_split=np.empty(0, dtype=np.float64),
             depth=0,
@@ -122,8 +140,8 @@ def build(points: np.ndarray, leaf_size: int | None = None) -> KDTree:
     starts = np.array([b[0] for b in leaf_bounds] + [n], dtype=np.int64)
     pts_sorted = pts[perm]
     L = len(leaf_bounds)
-    leaf_lo = np.empty((L, d), dtype=np.float64)
-    leaf_hi = np.empty((L, d), dtype=np.float64)
+    leaf_lo = np.empty((L, d), dtype=dt)
+    leaf_hi = np.empty((L, d), dtype=dt)
     for i, (s, e) in enumerate(leaf_bounds):  # loop over leaves, not rows
         leaf_lo[i] = pts_sorted[s:e].min(axis=0)
         leaf_hi[i] = pts_sorted[s:e].max(axis=0)
@@ -172,7 +190,7 @@ def _leaf_min_dist(tree: KDTree, q: np.ndarray) -> np.ndarray:
     NumPy's SIMD fast path — measured ~100x slower)."""
     Q, d = q.shape
     L = tree.n_leaves
-    dmin2 = np.zeros((Q, L), dtype=np.float64)
+    dmin2 = np.zeros((Q, L), dtype=tree.points.dtype)
     for j in range(d):  # loop over dimensions (2), not rows
         lo = tree.leaf_lo[:, j][None, :]  # (1,L)
         hi = tree.leaf_hi[:, j][None, :]
@@ -205,7 +223,13 @@ def knn(
     ``src/_kdtree_median.hpp:131-137``).
     """
     assert k >= 1
-    q = np.ascontiguousarray(queries, dtype=np.float64)
+    dt = tree.points.dtype
+    q = np.ascontiguousarray(queries, dtype=dt)
+    # insurance pad for reduced precision: the bbox bound is provably
+    # <= the pair distance under IEEE monotone rounding at IDENTICAL
+    # reduction order; pad by 4 ulp so a future order change can never
+    # silently prune a borderline leaf (admission stays exact).
+    pad = dt.type(1.0) + 4 * np.finfo(dt).eps if dt == np.float32 else 1.0
     if tree.n == 0 or len(q) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z, np.empty(0, dtype=np.float64)
@@ -254,7 +278,7 @@ def knn(
         bound = np.minimum(bound, max_radius)
 
         # phase 2: distToRegion pruning over the remaining leaves
-        scan2 = (dmin <= bound[:, None]) & ~scan1
+        scan2 = (dmin <= bound[:, None] * pad) & ~scan1
         q2, i2, d2 = _scan_pairs(tree, qc, scan2)
 
         cqi = np.concatenate([q1, q2])
@@ -287,8 +311,12 @@ def knn(
 
 def radius(tree: KDTree, queries: np.ndarray, r: float, chunk: int = 4096):
     """All points with dist <= r per query (reference Q3: large k + finite
-    maxRadius).  Returns flat (qi, idx, dist) in original point order."""
-    q = np.ascontiguousarray(queries, dtype=np.float64)
+    maxRadius).  Returns flat (qi, idx, dist) in original point order.
+    Runs in the tree's dtype (see build); admission ``dist <= r`` is exact
+    in that dtype, the bbox prune carries a 4-ulp float32 insurance pad."""
+    dt = tree.points.dtype
+    q = np.ascontiguousarray(queries, dtype=dt)
+    pad = dt.type(1.0) + 4 * np.finfo(dt).eps if dt == np.float32 else 1.0
     if tree.n == 0 or len(q) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z, np.empty(0, dtype=np.float64)
@@ -297,9 +325,9 @@ def radius(tree: KDTree, queries: np.ndarray, r: float, chunk: int = 4096):
     for c0 in range(0, len(q), chunk):
         qc = q[c0 : c0 + chunk]
         dmin = _leaf_min_dist(tree, qc)
-        scan = dmin <= r
+        scan = dmin <= dt.type(r) * pad
         cqi, cidx, cdist = _scan_pairs(tree, qc, scan)
-        adm = cdist <= r
+        adm = cdist <= dt.type(r)
         out_qi.append(cqi[adm] + c0)
         out_idx.append(tree.perm[cidx[adm]])
         out_dist.append(cdist[adm])
@@ -314,13 +342,18 @@ def radius(tree: KDTree, queries: np.ndarray, r: float, chunk: int = 4096):
 
 
 def brute_force_knn(
-    points: np.ndarray, queries: np.ndarray, k: int, tie_key: np.ndarray | None = None
+    points: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    tie_key: np.ndarray | None = None,
+    dtype: np.dtype | type = np.float64,
 ):
     """Oracle: exact top-k by (dist, tie_key) via full distance matrix.
     Mirrors the reference's test oracle (partial_sort over all points,
-    ``test/kdtree_test.cpp:95-104``)."""
-    pts = np.asarray(points, dtype=np.float64)
-    q = np.asarray(queries, dtype=np.float64)
+    ``test/kdtree_test.cpp:95-104``).  dtype selects the scalar type the
+    oracle computes in (same-dtype comparisons for the float32 kernel)."""
+    pts = np.asarray(points, dtype=dtype)
+    q = np.asarray(queries, dtype=dtype)
     if tie_key is None:
         tie_key = np.arange(len(pts), dtype=np.int64)
     diff = q[:, None, :] - pts[None, :, :]

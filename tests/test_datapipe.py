@@ -452,3 +452,46 @@ def test_connected_components_raises_at_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         datapipe.connected_components(pairs, max_iter=2)
+
+
+def test_ann_cosine_f32_select_matches_full_f64(spark):
+    """The float32-select / float64-rescore fast path inside
+    ann_cosine_topk must reproduce the pure-float64 scoring bit-for-bit
+    on the real fixture embeddings: selection margin 1e-3 covers the
+    worst-case f32 dot error (~(d+2)*eps32 at d=64) plus the 6dp
+    round-tie width, so no true top-k candidate is ever missed."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    res = (
+        datapipe.ann_cosine_topk(emb, k=10, block_rows=10**9)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = datapipe._round6_away(Mn @ Mn.T)
+    rows = []
+    for qi in range(len(ids)):
+        s = S[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))[:10]
+        for r, j in enumerate(order):
+            rows.append((ids[qi], ids[j], s[j], r + 1))
+    want = (
+        pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim", "rank"])
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert res["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+    assert res["sim"].tolist() == want["sim"].tolist()  # bit-exact
+
+
+def test_embeddings_stay_float32_on_the_wire(spark):
+    """Scale guard: the ANN inputs must ship as array<float> (float32)
+    through the shuffle — an accidental upcast to array<double> would
+    double cogroup bytes at 10^9 vectors."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    f = dict(emb.dtypes)["embedding"]
+    assert f == "array<float>", f

@@ -156,3 +156,66 @@ def test_knn_compound_vs_brute_force():
             want = sorted((D[q, p], p) for p in range(n))[:k]
             assert [p for _, p in mine] == [p for _, p in want], (rw, tw, q)
             assert np.allclose([d for d, _ in mine], [d for d, _ in want], atol=1e-9)
+
+
+@pytest.mark.parametrize("dist_kind", list(DISTS))
+@pytest.mark.parametrize("k", [1, 4, 8])
+def test_knn_float32_matches_float32_brute_force(dist_kind, k):
+    """float32 kernel exactness IN float32 — the reference's multi-scalar
+    parity (float/double/long double, ``test/kdtree_test.cpp:297-306``):
+    a float32 tree must return exactly what a float32 brute force returns
+    (ids, distances bit-equal), never silently mix precisions."""
+    pts = DISTS[dist_kind](8000, seed=21).astype(np.float32)
+    q = (
+        np.random.default_rng(22)
+        .uniform(-110, 110, (800, 2))
+        .astype(np.float32)
+    )
+    tree = kernel.build(pts, dtype=np.float32)
+    assert tree.points.dtype == np.float32
+    assert tree.leaf_lo.dtype == np.float32
+    qi, idx, dist = kernel.knn(tree, q, k)
+    assert dist.dtype == np.float32
+    oqi, oidx, odist = kernel.brute_force_knn(pts, q, k, dtype=np.float32)
+    assert np.array_equal(qi, oqi)
+    assert np.array_equal(idx, oidx)
+    assert np.array_equal(dist, odist.astype(np.float32))
+
+
+@pytest.mark.parametrize("r", [0.5, 5.0, 40.0])
+def test_radius_float32_matches_brute_force(r):
+    pts = clustered_pts(6000, seed=31).astype(np.float32)
+    q = (
+        np.random.default_rng(32)
+        .uniform(-110, 110, (300, 2))
+        .astype(np.float32)
+    )
+    tree = kernel.build(pts, dtype=np.float32)
+    qi, idx, dist = kernel.radius(tree, q, r)
+    assert dist.dtype == np.float32
+    # brute force in the SAME dtype with the SAME admission r
+    diff = q[:, None, :] - pts[None, :, :]
+    d = np.sqrt((diff * diff).sum(axis=2))
+    want = {
+        (int(i), int(j))
+        for i, j in zip(*np.nonzero(d <= np.float32(r)))
+    }
+    got = set(zip(qi.tolist(), idx.tolist()))
+    assert got == want
+    # distances bit-equal to the brute-force float32 values
+    for a, b, dd in zip(qi.tolist(), idx.tolist(), dist.tolist()):
+        assert np.float32(dd) == d[a, b]
+
+
+def test_float32_tree_halves_memory():
+    pts = uniform_pts(20000, seed=41)
+    t64 = kernel.build(pts)
+    t32 = kernel.build(pts, dtype=np.float32)
+    assert t32.points.nbytes * 2 == t64.points.nbytes
+    assert t32.leaf_lo.nbytes * 2 == t64.leaf_lo.nbytes
+    # float32 results agree with float64 within float32 epsilon
+    q = np.random.default_rng(42).uniform(-100, 100, (200, 2))
+    _, i64, d64 = kernel.knn(t64, q, 4)
+    _, i32, d32 = kernel.knn(t32, q, 4)
+    assert np.allclose(d32, d64, rtol=1e-5, atol=1e-4)
+    assert (i32 == i64).mean() > 0.99  # ties may flip at f32 epsilon
