@@ -734,6 +734,7 @@ def embedding_near_dup(
     threshold: float = 0.9,
     seed: int = 11,
     sample_rows: int = 4096,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: all (a, b), a < b, with
     6dp-rounded cosine similarity >= threshold.
@@ -836,7 +837,15 @@ def embedding_near_dup(
     for j in range(d):
         np.minimum.at(lo[:, j], inv, plo[:, j])
         np.maximum.at(hi[:, j], inv, phi[:, j])
-    pairs, _, _, _ = _near_dup_plan(counts, lo, hi, r)
+    pairs, work, shuffle_est, admit_tested = _near_dup_plan(counts, lo, hi, r)
+    if stats is not None:  # plan telemetry for benches/tests
+        stats.update(
+            n_buckets=int(len(buckets)),
+            admitted_pairs=int(len(pairs)),
+            admit_tested=int(admit_tested),
+            est_dot_work=float(work),
+            est_shuffle_rows=float(shuffle_est),
+        )
     key_mult = np.int64(max(len(cents), 1) + 1)
     pair_pdf = pd.DataFrame(
         {
@@ -862,8 +871,9 @@ def embedding_near_dup(
                 }
             )
 
+    emb_t = embeddings.schema["embedding"].dataType.simpleString()
     vb = embeddings.select("vec_id", "embedding").mapInPandas(
-        assign_gen, schema="vec_id long, embedding array<double>, bucket int"
+        assign_gen, schema=f"vec_id long, embedding {emb_t}, bucket int"
     )
     A = (
         vb.alias("va")
@@ -1252,6 +1262,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a pair table — the dedup-GROUPS step a
     training pipeline runs after any near-dup detector (each component
@@ -1321,6 +1332,9 @@ def connected_components(
             .count()
         )
         labels = new
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
+            stats["last_changed"] = int(changed)
         if changed == 0:
             break
     else:
