@@ -729,11 +729,24 @@ def _near_dup_plan(counts: np.ndarray, lo: np.ndarray, hi: np.ndarray, r: float)
     return np.column_stack([iu, ju]), work, shuffle, admit_tested
 
 
+def _fine_codes(Mn: np.ndarray, coarse: np.ndarray, cents: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Residual sign-LSH sub-code: b sign bits of the residual
+    (vector - assigned centroid) projected on fixed random directions.
+    Two well-separated clusters sharing one coarse bucket have residuals
+    pointing in distinct directions, so random hyperplanes through the
+    origin split them with prob ~ angle/pi per bit — no training, fully
+    deterministic, and batch-partitioning-independent (row-wise ops)."""
+    resid = Mn - cents[coarse]
+    bits = resid @ R > 0.0  # (n, b)
+    return (bits << np.arange(R.shape[1], dtype=np.int64)).sum(axis=1).astype(np.int64)
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,
     seed: int = 11,
     sample_rows: int = 4096,
+    fine_bits: int = 4,
     stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: all (a, b), a < b, with
@@ -743,11 +756,21 @@ def embedding_near_dup(
     engine's cell-pruning pattern applied to the unit sphere.  Cosine >= t
     on normalized vectors is Euclidean distance <= r = sqrt(2 - 2t), so:
     vectors are bucketed by nearest seeded-k-means centroid (sqrt-N
-    centroids, the IVF coarse quantizer — tight near-dup clusters land
-    alone in tight buckets); per-bucket stats carry the FULL-d bbox of
-    members; the driver admits only bucket PAIRS whose d-dimensional
-    bbox-to-bbox min distance is <= r (a contraction of every member-pair
-    distance — recall is provably 1.0, so the oracle row survives).  Each
+    centroids, the IVF coarse quantizer) REFINED by a residual sign-LSH
+    sub-code (``_fine_codes``): when the corpus has more natural clusters
+    than sqrt-N, a coarse bucket unions several distant clusters and its
+    bbox goes loose — round-4's ladder measured 85% of all bucket pairs
+    admitted at 100k rows for exactly this reason.  The sub-code splits
+    such buckets into per-cluster tight sub-buckets; the driver then
+    MERGES sub-buckets back to their coarse bucket wherever splitting
+    can't pay (coarse bbox already tight relative to r, or too few
+    members to amortize extra cogroups), so small/tight corpora plan
+    identically to the unsplit design.  Per-(plan-)bucket stats carry the
+    FULL-d bbox of members; the driver admits only bucket PAIRS whose
+    d-dimensional bbox-to-bbox min distance is <= r (a contraction of
+    every member-pair distance — recall is provably 1.0 for ANY partition
+    of the vectors, so both the split and the merge preserve the oracle
+    row).  Each
     admitted pair becomes one cogroup computing its cross block of dots in
     NumPy.  Shuffle volume is N * avg-degree rows — the round-2 posexplode
     self-join (N^2 * d rows through the shuffle) is gone; on clustered
@@ -773,19 +796,24 @@ def embedding_near_dup(
         )
     n_centroids = max(16, int(round(np.sqrt(n_rows))))
     cents = _spherical_kmeans(sample, n_centroids, seed)
-    bc = spark.sparkContext.broadcast(cents)
+    d_emb = cents.shape[1]
+    nf = 1 << fine_bits
+    R_proj = np.random.default_rng(seed + 101).standard_normal((d_emb, fine_bits))
+    bc = spark.sparkContext.broadcast((cents, R_proj))
 
-    # ONE pass: nearest-centroid assignment + per-partition partial stats
-    # (bucket, count, full-d bbox) — no posexplode, no extra shuffle; the
-    # tiny partial-stats table is combined driver-side.
+    # ONE pass: nearest-centroid assignment + residual sub-code +
+    # per-partition partial stats (composite bucket, count, full-d bbox)
+    # — no posexplode, no extra shuffle; the tiny partial-stats table is
+    # combined driver-side.
     def stats_gen(batches):
-        C = bc.value
+        C, R = bc.value
         for p in batches:
             if len(p) == 0:
                 continue
             M = np.array(p["embedding"].tolist(), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            bkt = (Mn @ C.T).argmax(axis=1)
+            coarse = (Mn @ C.T).argmax(axis=1)
+            bkt = coarse * nf + _fine_codes(Mn, coarse, C, R)
             uniq = np.unique(bkt)
             rows = {"bucket": [], "cnt": [], "lo": [], "hi": []}
             for b in uniq:
@@ -837,37 +865,87 @@ def embedding_near_dup(
     for j in range(d):
         np.minimum.at(lo[:, j], inv, plo[:, j])
         np.maximum.at(hi[:, j], inv, phi[:, j])
-    pairs, work, shuffle_est, admit_tested = _near_dup_plan(counts, lo, hi, r)
+    # adaptive merge: collapse a coarse bucket's sub-codes back together
+    # unless splitting can pay — the coarse bbox must be LOOSE relative
+    # to the join radius (half-diagonal > r: tight buckets already act
+    # like points under bbox admission) AND populous enough to amortize
+    # the extra cogroup fan-out.  Merging/splitting only changes the
+    # partition of vectors into plan buckets, so admission recall stays
+    # provably 1.0 either way.
+    coarse_of = buckets // nf
+    cids = np.unique(coarse_of)
+    cinv = np.searchsorted(cids, coarse_of)
+    ccnt = np.zeros(len(cids), np.int64)
+    np.add.at(ccnt, cinv, counts)
+    clo = np.full((len(cids), d), np.inf)
+    chi = np.full((len(cids), d), -np.inf)
+    for j in range(d):
+        np.minimum.at(clo[:, j], cinv, lo[:, j])
+        np.maximum.at(chi[:, j], cinv, hi[:, j])
+    crad = 0.5 * np.sqrt(((chi - clo) ** 2).sum(axis=1))
+    keep_split = (crad > r) & (ccnt >= 64)
+    # plan-bucket remap: split coarse buckets keep one plan bucket per
+    # occupied sub-code; merged ones share one
+    key = np.where(
+        keep_split[cinv], len(cids) + np.arange(len(buckets)), cinv
+    )
+    _, plan_of = np.unique(key, return_inverse=True)
+    P = int(plan_of.max()) + 1 if len(plan_of) else 0
+    pcounts = np.zeros(P, np.int64)
+    np.add.at(pcounts, plan_of, counts)
+    plo2 = np.full((P, d), np.inf)
+    phi2 = np.full((P, d), -np.inf)
+    for j in range(d):
+        np.minimum.at(plo2[:, j], plan_of, lo[:, j])
+        np.maximum.at(phi2[:, j], plan_of, hi[:, j])
+    pairs, work, shuffle_est, admit_tested = _near_dup_plan(
+        pcounts, plo2, phi2, r
+    )
     if stats is not None:  # plan telemetry for benches/tests
         stats.update(
-            n_buckets=int(len(buckets)),
+            n_buckets=int(P),
+            n_coarse=int(len(cids)),
+            n_split=int(keep_split.sum()),
             admitted_pairs=int(len(pairs)),
             admit_tested=int(admit_tested),
             est_dot_work=float(work),
             est_shuffle_rows=float(shuffle_est),
         )
-    key_mult = np.int64(max(len(cents), 1) + 1)
+    # composite bucket -> plan bucket LUT; the assign pass recomputes the
+    # identical deterministic assignment, so every composite it produces
+    # is present (guarded in the UDF anyway)
+    lut = np.full(n_centroids * nf, -1, np.int32)
+    lut[buckets] = plan_of.astype(np.int32)
+    bl = spark.sparkContext.broadcast(lut)
+    key_mult = np.int64(P + 1)
     pair_pdf = pd.DataFrame(
         {
-            "ba": buckets[pairs[:, 0]],
-            "bb": buckets[pairs[:, 1]],
-            "pk": buckets[pairs[:, 0]] * key_mult + buckets[pairs[:, 1]],
+            "ba": pairs[:, 0].astype(np.int32),
+            "bb": pairs[:, 1].astype(np.int32),
+            "pk": pairs[:, 0] * key_mult + pairs[:, 1],
         }
     )
     pair_df = F.broadcast(spark.createDataFrame(pair_pdf))
 
     def assign_gen(batches):
-        C = bc.value
+        C, R = bc.value
+        L = bl.value
         for p in batches:
             if len(p) == 0:
                 continue
             M = np.array(p["embedding"].tolist(), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            coarse = (Mn @ C.T).argmax(axis=1)
+            pb = L[coarse * nf + _fine_codes(Mn, coarse, C, R)]
+            if (pb < 0).any():
+                raise RuntimeError(
+                    "assign pass produced a bucket unseen by the stats pass"
+                )
             yield pd.DataFrame(
                 {
                     "vec_id": p["vec_id"].to_numpy(np.int64),
                     "embedding": p["embedding"],
-                    "bucket": (Mn @ C.T).argmax(axis=1).astype(np.int32),
+                    "bucket": pb.astype(np.int32),
                 }
             )
 
