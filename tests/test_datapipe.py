@@ -249,6 +249,44 @@ def test_embedding_near_dup_matches_numpy(spark):
     assert set(zip(got["id_a"], got["id_b"])) == set(want)
 
 
+def test_embedding_near_dup_fine_split_adaptive(spark):
+    """Round-5 regression for the ladder-measured pathology: with more
+    natural clusters than sqrt-N coarse buckets, the residual sign-LSH
+    sub-code must split the loose buckets (n_split > 0) and keep the
+    admitted bucket-pair fraction far below the 85% the coarse-only plan
+    measured — while a corpus with too few rows per bucket to amortize
+    the split must merge everything back (n_split == 0)."""
+    rng = np.random.default_rng(23)
+    n, d, n_clusters = 20_000, 32, 400  # 400 clusters > sqrt(20k) = 141
+    cents = rng.normal(size=(n_clusters, d))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cid = rng.integers(0, n_clusters, n)
+    X = cents[cid] + 0.01 * rng.normal(size=(n, d))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(map(list, X))}
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    stats: dict = {}
+    got = datapipe.embedding_near_dup(emb, stats=stats).count()
+    assert stats["n_split"] > 0
+    C = stats["n_buckets"]
+    assert stats["admitted_pairs"] < 0.10 * C * (C - 1) / 2
+    # est dot work near the intra-cluster ideal, not all-pairs
+    ideal = float((np.bincount(cid).astype(np.float64) ** 2).sum())
+    assert stats["est_dot_work"] < 50.0 * ideal
+    assert got > 0
+    # tiny corpus: every coarse bucket under the 64-member floor -> the
+    # plan must collapse to the unsplit design
+    small = spark.createDataFrame(
+        pdf.iloc[:800], schema="vec_id long, embedding array<double>"
+    )
+    s2: dict = {}
+    datapipe.embedding_near_dup(small, stats=s2).count()
+    assert s2["n_split"] == 0
+    assert s2["n_buckets"] == s2["n_coarse"]
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     exact = datapipe.ann_cosine_topk(emb, k=10, block_rows=100).toPandas()
