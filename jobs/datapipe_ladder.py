@@ -125,10 +125,15 @@ def timed(fn, runs: int = RUNS):
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    shm = Path("/dev/shm/sparkkd-local")
+    shm.mkdir(parents=True, exist_ok=True)
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "24g")
+        # tmpfs shuffle/spill dirs, same rationale as bench.py: the virtio
+        # disk serializes spill I/O (and filled up mid-ladder once)
+        .config("spark.local.dir", str(shm))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from . import codec, kernel
+from . import codec
 
 # ------------------------------------------------------------ dedup: exact
 
@@ -681,46 +681,72 @@ def _near_dup_plan(counts: np.ndarray, lo: np.ndarray, hi: np.ndarray, r: float)
     for ANY partition of the vectors — unlike LSH candidates, no pair
     within the radius can be missed.
 
-    The exact gap test no longer scans a dense (C, C) matrix (round-3's
-    O(C^2 * d) — an ~8 GB driver allocation at C = sqrt(10^9)).  Candidate
-    pairs come from a TRIANGLE-INEQUALITY pre-prune over bucket bounding
-    spheres (center = bbox midpoint, rad = half bbox diagonal):
+    Candidate pairs come from a TRIANGLE-INEQUALITY pre-prune over bucket
+    bounding spheres (center = bbox midpoint, rad = half bbox diagonal):
     bbox-gap(i, j) <= r implies ||center_i - center_j|| <= r + rad_i +
-    rad_j <= r + 2 * max(rad), so a k-d tree radius self-join over the C
-    centers (the same in-tree cross-cell pruning the reference does,
-    ``src/_kdtree_median.hpp:136-138``) yields a provable SUPERSET; the
-    per-pair triangle cut and then the exact full-d gap test run only on
-    the survivors, so the admitted pair set is IDENTICAL to the dense
-    scan's while driver work is O(C log C + m * d) with m ~ C * sphere-
-    neighbor degree (near-linear on clustered corpora; the 100k fixture
-    test asserts it).
+    rad_j, a provable SUPERSET (the same cross-cell pruning idea as the
+    reference's in-tree bound, ``src/_kdtree_median.hpp:136-138``).
+
+    The pre-prune is a BLOCKED-BLAS center-distance triangle cut: chunks
+    of query cells compute their distance row to ALL cell centers via
+    one matmul (|a|^2 + |b|^2 - 2ab), keep pairs with
+    ||ci - cj|| <= r + rad_i + rad_j (+1e-9 slack covering the matmul
+    expansion ulps — a strict superset, and the EXACT gap test decides
+    membership anyway), and run the exact full-d gap test on survivors
+    only.  Earlier rounds pre-pruned with a k-d sphere self-join over
+    the centers; at d = 64 the tree prunes nothing (curse of
+    dimensionality) and a 15k-cell plan hung the driver for 9+ minutes,
+    while the same work as one BLAS triangle sweep is O(C^2 d) at
+    matmul rate — ~3 s at C = 15k, memory-bounded by the chunking.
+    Driver planning stays viable to C ~ 10^5; past that the plan itself
+    should become a distributed self-join over the cell-stats table
+    (the geo engine's join, centers as points), not a driver loop.
 
     Returns (pairs (m, 2) int arrays with i <= j, work, shuffle_rows,
     admit_tested) — admit_tested counts the candidate pairs that reached
-    the exact gap test: the O(C * nbr)-not-O(C^2) scaling evidence."""
+    the exact gap test (triangle survivors)."""
     C = len(counts)
     if C == 0:
         z = np.empty((0, 2), np.int64)
         return z, 0.0, 0.0, 0
     centers = 0.5 * (lo + hi)
     rad = 0.5 * np.sqrt(((hi - lo) ** 2).sum(axis=1))
-    pre_r = (r + 2.0 * float(rad.max())) * (1.0 + 1e-12) + 1e-12
-    tree = kernel.build(centers)
-    cqi, cci, cdist = kernel.radius(tree, centers, pre_r)
-    m = cqi < cci
-    iu, ju, cd = cqi[m], cci[m], cdist[m]
-    # exact per-pair triangle cut (tighter than the scalarized pre_r)
-    t = cd <= r + rad[iu] + rad[ju] + 1e-9
-    iu, ju = iu[t], ju[t]
-    admit_tested = int(len(iu))
-    # exact full-d bbox gap test on survivors only — same criterion as
-    # the old dense scan, so the final pair set is identical
-    g = np.maximum(np.maximum(lo[ju] - hi[iu], lo[iu] - hi[ju]), 0.0)
-    keep = np.sqrt((g * g).sum(axis=1)) <= r
-    iu, ju = iu[keep], ju[keep]
+    admit_tested = 0
+    CH = 262_144  # bound the (m, d) gap temporaries at ~130 MB
+
+    def gap_keep(iu, ju):
+        # exact full-d bbox gap test — same criterion as the old dense
+        # scan, so the final pair set is identical; chunked (the round-4
+        # unchunked version peaked at 3.7 GB driver RSS at 100k rows)
+        keep = np.empty(len(iu), dtype=bool)
+        for c0 in range(0, len(iu), CH):
+            s = slice(c0, min(c0 + CH, len(iu)))
+            g = np.maximum(
+                np.maximum(lo[ju[s]] - hi[iu[s]], lo[iu[s]] - hi[ju[s]]), 0.0
+            )
+            keep[s] = np.sqrt((g * g).sum(axis=1)) <= r
+        return keep
+
+    nrm2 = (centers * centers).sum(axis=1)
+    pair_i: list[np.ndarray] = []
+    pair_j: list[np.ndarray] = []
+    QC = max(1, 8_000_000 // C)  # (QC, C) distance block ~64 MB
+    for q0 in range(0, C, QC):
+        q = np.arange(q0, min(q0 + QC, C))
+        d2 = nrm2[q, None] + nrm2[None, :] - 2.0 * (centers[q] @ centers.T)
+        cd = np.sqrt(np.maximum(d2, 0.0))
+        tri = cd <= r + rad[q][:, None] + rad[None, :] + 1e-9
+        qi, ci_ = np.nonzero(tri)
+        iu, ju = q[qi], ci_
+        m = ju > iu  # upper triangle once; diagonal added below
+        iu, ju = iu[m], ju[m]
+        admit_tested += int(len(iu))
+        keep = gap_keep(iu, ju)
+        pair_i.append(iu[keep])
+        pair_j.append(ju[keep])
     diag = np.arange(C, dtype=np.int64)  # self pairs always admitted
-    iu = np.concatenate([diag, iu])
-    ju = np.concatenate([diag, ju])
+    iu = np.concatenate([diag, *pair_i])
+    ju = np.concatenate([diag, *pair_j])
     order = np.lexsort((ju, iu))
     iu, ju = iu[order], ju[order]
     work = float((counts[iu] * counts[ju]).sum())
@@ -746,7 +772,7 @@ def embedding_near_dup(
     threshold: float = 0.9,
     seed: int = 11,
     sample_rows: int = 4096,
-    fine_bits: int = 4,
+    fine_bits: int = 12,
     stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: all (a, b), a < b, with
@@ -840,7 +866,8 @@ def embedding_near_dup(
             }
         )
 
-    stats_schema = "bucket int, cnt long, lo array<double>, hi array<double>"
+    # bucket is a (coarse * 2^fine_bits + fine) composite — long, not int
+    stats_schema = "bucket long, cnt long, lo array<double>, hi array<double>"
     spdf = (
         embeddings.select("vec_id", "embedding")
         .mapInPandas(stats_gen, schema=stats_schema)
@@ -911,12 +938,14 @@ def embedding_near_dup(
             est_dot_work=float(work),
             est_shuffle_rows=float(shuffle_est),
         )
-    # composite bucket -> plan bucket LUT; the assign pass recomputes the
-    # identical deterministic assignment, so every composite it produces
-    # is present (guarded in the UDF anyway)
-    lut = np.full(n_centroids * nf, -1, np.int32)
-    lut[buckets] = plan_of.astype(np.int32)
-    bl = spark.sparkContext.broadcast(lut)
+    # composite bucket -> plan bucket map as (sorted keys, plan ids) —
+    # occupied cells only (a dense n_centroids * 2^fine_bits array would
+    # be ~0.5 GB per executor at 10^9 rows).  The assign pass recomputes
+    # the identical deterministic assignment, so every composite it
+    # produces is present (guarded in the UDF anyway).
+    bl = spark.sparkContext.broadcast(
+        (buckets.astype(np.int64), plan_of.astype(np.int32))
+    )
     key_mult = np.int64(P + 1)
     pair_pdf = pd.DataFrame(
         {
@@ -929,18 +958,20 @@ def embedding_near_dup(
 
     def assign_gen(batches):
         C, R = bc.value
-        L = bl.value
+        keys, pids = bl.value
         for p in batches:
             if len(p) == 0:
                 continue
             M = np.array(p["embedding"].tolist(), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
             coarse = (Mn @ C.T).argmax(axis=1)
-            pb = L[coarse * nf + _fine_codes(Mn, coarse, C, R)]
-            if (pb < 0).any():
+            comp = coarse * nf + _fine_codes(Mn, coarse, C, R)
+            pos = np.minimum(np.searchsorted(keys, comp), len(keys) - 1)
+            if (keys[pos] != comp).any():
                 raise RuntimeError(
                     "assign pass produced a bucket unseen by the stats pass"
                 )
+            pb = pids[pos]
             yield pd.DataFrame(
                 {
                     "vec_id": p["vec_id"].to_numpy(np.int64),
