@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence with REAL executor processes.
+
+The other scaling exhibits run `local[N]` (thread-count parallelism in
+one JVM).  This job runs the marquee SE(3) compound radius join the way
+the north_rule words it: submitted via ``spark-submit --py-files
+sparkkd.zip`` against a **multi-executor** master —
+``local-cluster[E,8,mem]`` spawns E separate executor JVMs (own heaps,
+own Python worker pools, cross-process Netty shuffle + broadcast) on
+this host — at E=1 (N) and E=4 (4N) executors, 8 cores each.
+
+Cross-checks per level:
+* pair count must be identical at both cluster sizes (exactness is
+  invariant under cluster size — the same claim the reference's tests
+  make for thread counts, `test/kdtree_test.cpp`);
+* the executor count seen by the driver is asserted, so the 4N level
+  can't silently fall back to one backend.
+
+Prints one JSON line per level plus a summary line with
+efficiency = rate_4N / (4 * rate_N).
+
+Usage: python jobs/local_cluster_scaling.py [--quick]
+       (orchestrator: builds dist/sparkkd.zip, materializes fixtures,
+        then spark-submits itself twice with --worker E)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TAG = os.environ.get("SPARKKD_LC_TAG", "sf1")
+RADIUS = float(os.environ.get("SPARKKD_LC_R", "0.7"))
+ROT_W = float(os.environ.get("SPARKKD_LC_RW", "2.0"))
+TRANS_W = float(os.environ.get("SPARKKD_LC_TW", "0.5"))
+REPEATS = int(os.environ.get("SPARKKD_LC_REPEATS", "2"))
+CORES_PER_EXEC = 8
+
+
+# ------------------------------------------------------------- worker
+
+
+def worker(n_exec: int) -> None:
+    """Runs INSIDE spark-submit: master/memory/py-files already set."""
+    from pyspark.sql import SparkSession
+
+    from sparkkd import so3engine, synth
+    from sparkkd.envtune import disable_thp
+
+    disable_thp()
+    root = synth.fixtures_root() / TAG
+    spark = SparkSession.builder.appName(f"sparkkd-lc-{n_exec}x").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # getExecutorMemoryStatus includes the driver; require E live executors
+    deadline = time.time() + 120
+    while True:
+        n_live = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+        if n_live >= n_exec:
+            break
+        if time.time() > deadline:
+            raise RuntimeError(f"only {n_live}/{n_exec} executors registered")
+        time.sleep(1)
+
+    poses = spark.read.parquet(str(root / "poses.parquet"))
+    queries = spark.read.parquet(str(root / "pose_queries.parquet"))
+
+    t0 = time.time()
+    idx = so3engine.Se3Index(spark, poses)
+    build_sec = time.time() - t0
+
+    def run() -> tuple[float, int]:
+        t = time.time()
+        n = idx.radius_join(
+            queries, RADIUS, rot_weight=ROT_W, trans_weight=TRANS_W
+        ).count()
+        return time.time() - t, n
+
+    run()  # warmup: caches, JIT, python worker spin-up, page faults
+    secs, n_pairs = [], 0
+    for _ in range(REPEATS):
+        s, n_pairs = run()
+        secs.append(round(s, 2))
+    best = min(secs)
+    print(
+        "SPARKKD_LC_RESULT "
+        + json.dumps(
+            {
+                "executors": n_exec,
+                "cores": n_exec * CORES_PER_EXEC,
+                "sec": best,
+                "build_sec": round(build_sec, 2),
+                "all_secs": secs,
+                "pairs": n_pairs,
+                "pairs_per_sec": round(n_pairs / best, 1),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+# ------------------------------------------------------- orchestrator
+
+
+def build_zip() -> Path:
+    """Package sparkkd/ into dist/sparkkd.zip for --py-files."""
+    dist = REPO / "dist"
+    dist.mkdir(exist_ok=True)
+    out = dist / "sparkkd.zip"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted((REPO / "sparkkd").glob("*.py")):
+            z.write(p, f"sparkkd/{p.name}")
+    return out
+
+
+def spark_submit_bin() -> str:
+    import pyspark
+
+    return str(Path(pyspark.__file__).parent / "bin" / "spark-submit")
+
+
+def submit(n_exec: int, zip_path: Path, mem_mb: int, exec_mem: str) -> dict:
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    shm = Path("/dev/shm/sparkkd-local")
+    shm.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        spark_submit_bin(),
+        "--master", f"local-cluster[{n_exec},{CORES_PER_EXEC},{mem_mb}]",
+        "--py-files", str(zip_path),
+        "--driver-memory", "20g",
+        "--conf", f"spark.executor.memory={exec_mem}",
+        "--conf", f"spark.local.dir={shm}",
+        "--conf", "spark.sql.shuffle.partitions=32",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        str(Path(__file__)),
+        "--worker", str(n_exec),
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=str(REPO))
+    for line in r.stdout.splitlines():
+        if line.startswith("SPARKKD_LC_RESULT "):
+            return json.loads(line[len("SPARKKD_LC_RESULT "):])
+    sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-6000:] + "\n")
+    raise RuntimeError(f"no result line from spark-submit at E={n_exec}")
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    quick = "--quick" in sys.argv
+    global TAG
+    if quick and "SPARKKD_LC_TAG" not in os.environ:
+        TAG = "sf0.1"
+        os.environ["SPARKKD_LC_TAG"] = TAG
+
+    from sparkkd import synth
+
+    synth.ensure_pose_fixtures(TAG)  # untimed input materialization
+    zip_path = build_zip()
+
+    out = {}
+    for n_exec in (1, 4):
+        res = submit(n_exec, zip_path, mem_mb=17408, exec_mem="14g")
+        out[str(n_exec)] = res
+        print(json.dumps(res), flush=True)
+    assert out["1"]["pairs"] == out["4"]["pairs"], "pair count differs across cluster sizes"
+    eff = out["4"]["pairs_per_sec"] / (4.0 * out["1"]["pairs_per_sec"])
+    print(
+        json.dumps(
+            {
+                "job": f"se3_radius_join r={RADIUS} rw={ROT_W} tw={TRANS_W} {TAG} "
+                       f"via spark-submit --py-files (local-cluster, {CORES_PER_EXEC} cores/executor)",
+                "speedup": round(out["4"]["pairs_per_sec"] / out["1"]["pairs_per_sec"], 2),
+                "efficiency": round(eff, 3),
+                "pairs_identical": True,
+                "raw": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

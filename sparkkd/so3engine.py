@@ -65,6 +65,7 @@ selection tie can never cut a candidate the oracle would rank inside k.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -576,6 +577,13 @@ def _coarsen_nd(cell: np.ndarray, level: int, coarse: int, dims: int) -> np.ndar
 # scaling test asserts both grow with admitted GROUPS, never with P.
 ADMIT_STATS = {"dense_cells": 0, "pair_tests": 0}
 
+# Below this partition count the (chunk, P) dense sweep is cheaper than
+# group-sweep + paired expansion (measured: SO(3) sf1, P ~ 1k, the group
+# level costs ~7% steady-join wall — BENCH/BASELINE.md §I); the group
+# level exists for P >> 10k where dense admission memory grows linearly.
+# Tests pin this to 0 to force the 3-level path at small P.
+DENSE_P_MAX = int(os.environ.get("SPARKKD_DENSE_P_MAX", "2048"))
+
 
 def _f32_outward(lo: np.ndarray, hi: np.ndarray):
     """float32 copies of stats bboxes padded OUTWARD (lo rounded toward
@@ -632,21 +640,31 @@ def _partition_candidates(
     up, ``src/_so3space.hpp:401-423``).  `home_pid` partitions are skipped
     (fully probed in phase 1).  Returns (qi, pid) arrays."""
     leaf_lo, leaf_hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start = layout_arrays
-    dmin_g = scale * _bbox_min_dist(P, g_lo, g_hi)
-    ADMIT_STATS["dense_cells"] += dmin_g.size
-    qi_g, gi_g = np.nonzero(dmin_g <= bound[:, None])
     z = np.empty(0, dtype=np.int64)
-    if len(qi_g) == 0:
-        return z, z
-    qq, pi_a, _ = _expand_ranges(qi_g, gi_g, g_start)
-    ADMIT_STATS["pair_tests"] += len(qq)
-    ok = (
-        scale * _bbox_min_dist_pairs(P[qq], p_lo[pi_a], p_hi[pi_a])
-        <= bound[qq]
-    )
-    if home_pid is not None:
-        ok &= pi_a != home_pid[qq]
-    qi_a, pi_a = qq[ok], pi_a[ok]
+    if p_lo.shape[0] <= DENSE_P_MAX:
+        # small P: the dense (chunk, P) sweep is cheaper than group
+        # machinery and its memory is bounded by DENSE_P_MAX by definition
+        dmin_p = scale * _bbox_min_dist(P, p_lo, p_hi)
+        ADMIT_STATS["dense_cells"] += dmin_p.size
+        qi_a, pi_a = np.nonzero(dmin_p <= bound[:, None])
+        if home_pid is not None and len(qi_a) > 0:
+            keep = pi_a != home_pid[qi_a]
+            qi_a, pi_a = qi_a[keep], pi_a[keep]
+    else:
+        dmin_g = scale * _bbox_min_dist(P, g_lo, g_hi)
+        ADMIT_STATS["dense_cells"] += dmin_g.size
+        qi_g, gi_g = np.nonzero(dmin_g <= bound[:, None])
+        if len(qi_g) == 0:
+            return z, z
+        qq, pi_a, _ = _expand_ranges(qi_g, gi_g, g_start)
+        ADMIT_STATS["pair_tests"] += len(qq)
+        ok = (
+            scale * _bbox_min_dist_pairs(P[qq], p_lo[pi_a], p_hi[pi_a])
+            <= bound[qq]
+        )
+        if home_pid is not None:
+            ok &= pi_a != home_pid[qq]
+        qi_a, pi_a = qq[ok], pi_a[ok]
     if len(qi_a) == 0:
         return z, z
 
@@ -752,30 +770,43 @@ def _se3_partition_candidates(
      g_lo, g_hi, g_rlo, g_rhi, g_start) = layout_arrays
     use_rot = rw > 0.0 and p_rlo is not None
     z = np.empty(0, dtype=np.int64)
-    dmin_g = tw * _bbox_min_dist(T, g_lo, g_hi)
-    ADMIT_STATS["dense_cells"] += dmin_g.size
-    qi_g, gi_g = np.nonzero(dmin_g <= bound[:, None])
-    if use_rot and len(qi_g) > 0:
-        extra = rw * _rot_lb_pairs(R[qi_g], g_rlo[gi_g], g_rhi[gi_g])
-        keep = dmin_g[qi_g, gi_g] + extra <= bound[qi_g]
-        qi_g, gi_g = qi_g[keep], gi_g[keep]
-    if len(qi_g) == 0:
-        return z, z
-    qq, pi_a, _ = _expand_ranges(qi_g, gi_g, g_start)
-    ADMIT_STATS["pair_tests"] += len(qq)
-    d = tw * _bbox_min_dist_pairs(T[qq], p_lo[pi_a], p_hi[pi_a])
-    ok = d <= bound[qq]
-    if home_pid is not None:
-        ok &= pi_a != home_pid[qq]
-    if use_rot:
-        idx = np.nonzero(ok)[0]
-        if len(idx) > 0:
-            extra = rw * _rot_lb_pairs(
-                R[qq[idx]], p_rlo[pi_a[idx]], p_rhi[pi_a[idx]]
-            )
-            bad = d[idx] + extra > bound[qq[idx]]
-            ok[idx[bad]] = False
-    qi_a, pi_a = qq[ok], pi_a[ok]
+    if p_lo.shape[0] <= DENSE_P_MAX:
+        # small P: dense (chunk, P) translation sweep, lazy rot on hits
+        dmin_p = tw * _bbox_min_dist(T, p_lo, p_hi)
+        ADMIT_STATS["dense_cells"] += dmin_p.size
+        qi_a, pi_a = np.nonzero(dmin_p <= bound[:, None])
+        if home_pid is not None and len(qi_a) > 0:
+            keep = pi_a != home_pid[qi_a]
+            qi_a, pi_a = qi_a[keep], pi_a[keep]
+        if use_rot and len(qi_a) > 0:
+            extra = rw * _rot_lb_pairs(R[qi_a], p_rlo[pi_a], p_rhi[pi_a])
+            keep = dmin_p[qi_a, pi_a] + extra <= bound[qi_a]
+            qi_a, pi_a = qi_a[keep], pi_a[keep]
+    else:
+        dmin_g = tw * _bbox_min_dist(T, g_lo, g_hi)
+        ADMIT_STATS["dense_cells"] += dmin_g.size
+        qi_g, gi_g = np.nonzero(dmin_g <= bound[:, None])
+        if use_rot and len(qi_g) > 0:
+            extra = rw * _rot_lb_pairs(R[qi_g], g_rlo[gi_g], g_rhi[gi_g])
+            keep = dmin_g[qi_g, gi_g] + extra <= bound[qi_g]
+            qi_g, gi_g = qi_g[keep], gi_g[keep]
+        if len(qi_g) == 0:
+            return z, z
+        qq, pi_a, _ = _expand_ranges(qi_g, gi_g, g_start)
+        ADMIT_STATS["pair_tests"] += len(qq)
+        d = tw * _bbox_min_dist_pairs(T[qq], p_lo[pi_a], p_hi[pi_a])
+        ok = d <= bound[qq]
+        if home_pid is not None:
+            ok &= pi_a != home_pid[qq]
+        if use_rot:
+            idx = np.nonzero(ok)[0]
+            if len(idx) > 0:
+                extra = rw * _rot_lb_pairs(
+                    R[qq[idx]], p_rlo[pi_a[idx]], p_rhi[pi_a[idx]]
+                )
+                bad = d[idx] + extra > bound[qq[idx]]
+                ok[idx[bad]] = False
+        qi_a, pi_a = qq[ok], pi_a[ok]
     if len(qi_a) == 0:
         return z, z
 

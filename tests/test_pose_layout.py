@@ -220,10 +220,13 @@ def test_admission_work_scales_with_groups_not_partitions():
     assert per_query_pairs < P / 50
 
 
-def test_group_admission_identical_to_dense_partition_admission():
+def test_group_admission_identical_to_dense_partition_admission(monkeypatch):
     """The group stage is a provable superset filter: 3-level admission
     must return EXACTLY the pairs the old dense partition sweep did —
-    randomized boxes, both engines, with and without rotation stats."""
+    randomized boxes, both engines, with and without rotation stats.
+    DENSE_P_MAX is pinned to 0 so the group path runs even at P = 500
+    (production bypasses it below the threshold)."""
+    monkeypatch.setattr(S, "DENSE_P_MAX", 0)
     rng = np.random.default_rng(42)
     P = 500
     (leaf_lo, leaf_hi, p_lo, p_hi, p_start,
@@ -275,6 +278,43 @@ def test_group_admission_identical_to_dense_partition_admission():
     assert set(zip(qi.tolist(), pid.tolist())) == set(
         zip(bq[ok].tolist(), bp[ok].tolist())
     )
+
+
+def test_dense_bypass_matches_group_path(monkeypatch):
+    """Small-P fast path (round 5): admission with the (chunk, P) dense
+    bypass must return EXACTLY the pairs of the 3-level group path, for
+    both engines, home-pid mask included."""
+    rng = np.random.default_rng(11)
+    P = 400
+    (leaf_lo, leaf_hi, p_lo, p_hi, p_start,
+     g_lo, g_hi, g_start, g_counts, rot) = _line_layout(
+        P, leaf_per_p=3, with_rot=True, rng=rng
+    )
+    leaf_rlo, leaf_rhi, p_rlo, p_rhi, g_rlo, g_rhi = rot
+    nq = 150
+    Q = np.column_stack([rng.uniform(0, P, nq), np.zeros(nq), np.zeros(nq)])
+    bound = rng.uniform(0.5, 25.0, nq)
+    home = rng.integers(0, P, nq)
+    la = (leaf_lo, leaf_hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
+    QR = rng.normal(size=(nq, 4))
+    QR /= np.linalg.norm(QR, axis=1, keepdims=True)
+    QR *= S.canon_sign_np(QR)[:, None]
+    la14 = (leaf_lo, leaf_hi, leaf_rlo, leaf_rhi,
+            p_lo, p_hi, p_rlo, p_rhi, p_start,
+            g_lo, g_hi, g_rlo, g_rhi, g_start)
+    results = {}
+    for tag, thresh in (("group", 0), ("dense", 10**6)):
+        monkeypatch.setattr(S, "DENSE_P_MAX", thresh)
+        qi, pid = S._partition_candidates(Q, bound, la, home_pid=home)
+        qi2, pid2 = S._se3_partition_candidates(
+            Q, QR, bound, la14, 0.5, 2.0, home_pid=home
+        )
+        results[tag] = (
+            set(zip(qi.tolist(), pid.tolist())),
+            set(zip(qi2.tolist(), pid2.tolist())),
+        )
+    assert results["dense"] == results["group"]
+    assert len(results["dense"][0]) > 0 and len(results["dense"][1]) > 0
 
 
 def test_f32_outward_padding_is_superset_and_halves_bytes():
