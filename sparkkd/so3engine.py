@@ -606,6 +606,41 @@ def _f32_pair(lo, hi):
     return _f32_outward(lo, hi)
 
 
+# Per-executor budget for the LEAF-level admission boxes.  Leaf arrays
+# are the one layout component that grows O(N/16384) with the corpus
+# (~3.4 GB f32 at 10^12 poses); partition- and group-level boxes stay
+# small (P ~ N/2^18, G ~ sqrt(P)).  Leaf-level admission is an OPTIONAL
+# superset refinement — dropping it admits a few more (query, partition)
+# pairs but changes no result — so above the budget we ship None and the
+# admission functions skip the leaf pass, keeping the broadcast bounded
+# at any corpus size.
+_MAX_LEAF_BCAST_BYTES = int(
+    os.environ.get("SPARKKD_MAX_LEAF_BCAST_BYTES", str(256 << 20))
+)
+
+
+def _f32_leaf_outward(lo, hi):
+    """f32 outward leaf boxes, or (None, None) over the broadcast budget
+    (see _MAX_LEAF_BCAST_BYTES)."""
+    lo32, hi32 = _f32_outward(lo, hi)
+    if lo32.nbytes + hi32.nbytes > _MAX_LEAF_BCAST_BYTES:
+        return None, None
+    return lo32, hi32
+
+
+def _f32_leaf_pack(layout):
+    """SE(3) leaf boxes (translation + rotation) under one shared budget:
+    all four arrays or all Nones, so the leaf pass is skipped atomically."""
+    lo32, hi32 = _f32_outward(layout.leaf_lo, layout.leaf_hi)
+    slo32, shi32 = _f32_pair(layout.leaf_slo, layout.leaf_shi)
+    total = lo32.nbytes + hi32.nbytes + sum(
+        a.nbytes for a in (slo32, shi32) if a is not None
+    )
+    if total > _MAX_LEAF_BCAST_BYTES:
+        return None, None, None, None
+    return lo32, hi32, slo32, shi32
+
+
 def _expand_ranges(qi: np.ndarray, gi: np.ndarray, starts: np.ndarray):
     """Pair-expand admitted (query, range) pairs to their members:
     range gi spans starts[gi]..starts[gi+1].  Returns (qq, mem, off)
@@ -665,8 +700,10 @@ def _partition_candidates(
         if home_pid is not None:
             ok &= pi_a != home_pid[qq]
         qi_a, pi_a = qq[ok], pi_a[ok]
-    if len(qi_a) == 0:
-        return z, z
+    if len(qi_a) == 0 or leaf_lo is None:
+        # leaf arrays over the broadcast budget: partition-level
+        # admission alone is already exact (leaf pass is a refinement)
+        return qi_a, pi_a
 
     def test(qq_, li):
         ADMIT_STATS["pair_tests"] += len(qq_)
@@ -807,8 +844,10 @@ def _se3_partition_candidates(
                 bad = d[idx] + extra > bound[qq[idx]]
                 ok[idx[bad]] = False
         qi_a, pi_a = qq[ok], pi_a[ok]
-    if len(qi_a) == 0:
-        return z, z
+    if len(qi_a) == 0 or leaf_lo is None:
+        # leaf arrays over the broadcast budget: partition-level
+        # admission alone is already exact (leaf pass is a refinement)
+        return qi_a, pi_a
 
     def test(qq_, li):
         ADMIT_STATS["pair_tests"] += len(qq_)
@@ -1178,7 +1217,7 @@ def _so3_knn_on_index(
 
     bc = spark.sparkContext.broadcast(
         (
-            *_f32_outward(layout.leaf_lo, layout.leaf_hi),
+            *_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
             *_f32_outward(layout.p_lo, layout.p_hi), layout.p_start,
             layout.g_counts,
             *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start,
@@ -1453,7 +1492,7 @@ def _so3_radius_on_index(
     pid_salts = _pid_salts(spark, layout)
 
     bc = spark.sparkContext.broadcast(
-        (*_f32_outward(layout.leaf_lo, layout.leaf_hi),
+        (*_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
          *_f32_outward(layout.p_lo, layout.p_hi),
          layout.p_start,
          *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start)
@@ -1463,7 +1502,7 @@ def _so3_radius_on_index(
         lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start = bc.value
         la = (lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
         for pdf in batches:
-            if len(pdf) == 0 or len(lo) == 0:
+            if len(pdf) == 0 or len(p_lo) == 0:
                 continue
             C4 = pdf[ccols].to_numpy(np.float64)
             qid = pdf["query_id"].to_numpy()
@@ -1708,8 +1747,7 @@ def _se3_radius_on_index(
     r_pad = r * (1.0 + 1e-12) + 1e-15
     bc = spark.sparkContext.broadcast(
         (
-            *_f32_outward(layout.leaf_lo, layout.leaf_hi),
-            *_f32_pair(layout.leaf_slo, layout.leaf_shi),
+            *_f32_leaf_pack(layout),
             *_f32_outward(layout.p_lo, layout.p_hi),
             *_f32_pair(layout.p_slo, layout.p_shi),
             layout.p_start,
@@ -1721,10 +1759,10 @@ def _se3_radius_on_index(
 
     def gen(batches):
         la = bc.value
-        lo = la[0]
+        p_lo = la[4]
         g_lo = la[9]
         for pdf in batches:
-            if len(pdf) == 0 or len(lo) == 0:
+            if len(pdf) == 0 or len(p_lo) == 0:
                 continue
             T = pdf[list(TCOLS)].to_numpy(np.float64)
             QR = pdf[list(QCOLS)].to_numpy(np.float64)
@@ -1998,8 +2036,7 @@ def _se3_knn_on_index(
     # ---- phase 2: partition admission within the compound bound ---------
     bc = spark.sparkContext.broadcast(
         (
-            *_f32_outward(layout.leaf_lo, layout.leaf_hi),
-            *_f32_pair(layout.leaf_slo, layout.leaf_shi),
+            *_f32_leaf_pack(layout),
             *_f32_outward(layout.p_lo, layout.p_hi),
             *_f32_pair(layout.p_slo, layout.p_shi),
             layout.p_start,

@@ -354,3 +354,44 @@ def test_se3_radius_join_vs_brute_force(spark, pose_data):
     assert len(res) == len(want) > 0
     assert (res["pose_id"].to_numpy() == want["pose_id"].to_numpy()).all()
     assert np.allclose(res["dist"].to_numpy(), want["d"].to_numpy(), atol=1e-9)
+
+
+def test_leaf_broadcast_budget_invariance(spark, pose_data, monkeypatch):
+    """Round 5: when the leaf boxes exceed _MAX_LEAF_BCAST_BYTES the
+    broadcast ships None and admission stops at the partition level —
+    a pure superset refinement being dropped, so every join result must
+    be IDENTICAL.  Exercises all four pose paths with the budget forced
+    to 0 (always over) vs the default."""
+    poses, queries, ppdf, _ = pose_data
+
+    def all_four():
+        knn = (
+            so3engine.so3_knn_join(
+                spark, poses, queries, k=4, n_poses_hint=len(ppdf)
+            ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        rad = (
+            so3engine.so3_radius_join(
+                spark, poses, queries, r=0.3, n_poses_hint=len(ppdf)
+            ).toPandas().sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+        )
+        sknn = (
+            so3engine.se3_knn_join(
+                spark, poses, queries, k=4, rot_weight=2.0, trans_weight=0.5,
+                n_poses_hint=len(ppdf),
+            ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        srad = (
+            so3engine.se3_radius_join(
+                spark, poses, queries, r=0.7, rot_weight=2.0, trans_weight=0.5,
+                n_poses_hint=len(ppdf),
+            ).toPandas().sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+        )
+        return knn, rad, sknn, srad
+
+    base = all_four()
+    monkeypatch.setattr(so3engine, "_MAX_LEAF_BCAST_BYTES", 0)
+    capped = all_four()
+    for b, c in zip(base, capped):
+        pd.testing.assert_frame_equal(b, c)
+        assert len(b) > 0
