@@ -22,6 +22,7 @@ where two engines must agree (see oracle notes per function).
 from __future__ import annotations
 
 import hashlib
+import os
 import zlib
 
 import numpy as np
@@ -30,6 +31,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import codec
+from .engine import _register_cache, _release_registry
+
+# one-shot persisted intermediates of the LAST embedding_near_dup call;
+# drained at the next call (results are consumed once by contract) and by
+# engine.release_caches() — same discipline ADVICE r4 asked of the pose
+# radius paths.
+_ONESHOT_CACHES: list[DataFrame] = []
+
+# Above this many occupied (plan-)buckets the near-dup pair plan runs as a
+# DISTRIBUTED block self-join instead of the driver-side BLAS sweep:
+# _near_dup_plan's triangle cut is O(C^2 d) flops on the driver and its
+# stats collect is O(C d) bytes — fine to C ~ 1e5 (measured ~3 s at 15k),
+# the wrong shape at 100 TB of embeddings (C = sqrt(N) ~ 6e5).
+_NEAR_DUP_DRIVER_C_MAX = int(
+    os.environ.get("SPARKKD_NEAR_DUP_DRIVER_C_MAX", "65536")
+)
+# plan buckets per hash block in the distributed plan (B = ceil(C/block));
+# each of the B(B+1)/2 cogroup tasks sweeps one (block, block) tile.
+_NEAR_DUP_PLAN_BLOCK = int(
+    os.environ.get("SPARKKD_NEAR_DUP_PLAN_BLOCK", "4096")
+)
 
 # ------------------------------------------------------------ dedup: exact
 
@@ -698,9 +720,11 @@ def _near_dup_plan(counts: np.ndarray, lo: np.ndarray, hi: np.ndarray, r: float)
     dimensionality) and a 15k-cell plan hung the driver for 9+ minutes,
     while the same work as one BLAS triangle sweep is O(C^2 d) at
     matmul rate — ~3 s at C = 15k, memory-bounded by the chunking.
-    Driver planning stays viable to C ~ 10^5; past that the plan itself
-    should become a distributed self-join over the cell-stats table
-    (the geo engine's join, centers as points), not a driver loop.
+    Driver planning stays viable to C ~ 10^5; past
+    ``_NEAR_DUP_DRIVER_C_MAX`` occupied buckets ``embedding_near_dup``
+    switches to ``_near_dup_plan_distributed`` — the same admission as a
+    hash-blocked self-join over the cell-stats table, no C-row collect,
+    no driver BLAS.
 
     Returns (pairs (m, 2) int arrays with i <= j, work, shuffle_rows,
     admit_tested) — admit_tested counts the candidate pairs that reached
@@ -805,6 +829,15 @@ def embedding_near_dup(
     degrades to a blocked brute force with the same asymptotics as
     ann_cosine_topk's exact baseline.
 
+    Plan placement: below ``_NEAR_DUP_DRIVER_C_MAX`` occupied buckets the
+    pair plan runs on the driver (`_near_dup_plan`, blocked BLAS, ~3 s at
+    C = 15k); above it — 100 TB of embeddings puts C = sqrt(N) ~ 6e5 —
+    the IDENTICAL admission runs distributed
+    (`_near_dup_plan_distributed`): no C-row collect, no O(C^2 d) driver
+    work.  Both plans are recall-1.0 supersets feeding the same exact
+    rescoring, so the output row set is independent of which plan ran
+    (asserted by a path-equivalence pytest).
+
     Stage 2 (unchanged): deterministic rescoring — dot and norms as
     ORDERED left folds over the arrays (aggregate + zip_with), the exact
     expression the DuckDB oracle mirrors with list_reduce, so the final
@@ -868,18 +901,29 @@ def embedding_near_dup(
 
     # bucket is a (coarse * 2^fine_bits + fine) composite — long, not int
     stats_schema = "bucket long, cnt long, lo array<double>, hi array<double>"
-    spdf = (
+    _release_registry(_ONESHOT_CACHES)  # PREVIOUS call's intermediates
+    stats_df = _register_cache(
         embeddings.select("vec_id", "embedding")
         .mapInPandas(stats_gen, schema=stats_schema)
         .groupBy("bucket")
-        .applyInPandas(stats_combine, schema=stats_schema)
-        .toPandas()
+        .applyInPandas(stats_combine, schema=stats_schema),
+        _ONESHOT_CACHES,
     )
-    if len(spdf) == 0:
+    n_occ = stats_df.count()  # the ONE scan over embeddings, cached (C rows)
+    if n_occ == 0:
         return spark.createDataFrame(
             pd.DataFrame({"id_a": [], "id_b": [], "sim": []}),
             schema="id_a long, id_b long, sim double",
         )
+    if n_occ > _NEAR_DUP_DRIVER_C_MAX:
+        bl = None
+        bsplit, pair_df = _near_dup_plan_distributed(
+            spark, stats_df, nf, r, stats
+        )
+        return _near_dup_block_join(
+            spark, embeddings, bc, nf, bl, bsplit, pair_df, threshold, margin
+        )
+    spdf = stats_df.toPandas()
     d = len(spdf["lo"].iloc[0])
     buckets = np.sort(spdf["bucket"].unique())
     inv = np.searchsorted(buckets, spdf["bucket"].to_numpy())
@@ -944,21 +988,222 @@ def embedding_near_dup(
     # the identical deterministic assignment, so every composite it
     # produces is present (guarded in the UDF anyway).
     bl = spark.sparkContext.broadcast(
-        (buckets.astype(np.int64), plan_of.astype(np.int32))
+        (buckets.astype(np.int64), plan_of.astype(np.int64))
     )
-    key_mult = np.int64(P + 1)
     pair_pdf = pd.DataFrame(
-        {
-            "ba": pairs[:, 0].astype(np.int32),
-            "bb": pairs[:, 1].astype(np.int32),
-            "pk": pairs[:, 0] * key_mult + pairs[:, 1],
-        }
+        {"ba": pairs[:, 0].astype(np.int64), "bb": pairs[:, 1].astype(np.int64)}
     )
-    pair_df = F.broadcast(spark.createDataFrame(pair_pdf))
+    pair_df = F.broadcast(
+        spark.createDataFrame(pair_pdf, schema="ba long, bb long")
+    )
+    return _near_dup_block_join(
+        spark, embeddings, bc, nf, bl, None, pair_df, threshold, margin
+    )
+
+
+def _near_dup_plan_distributed(spark, stats_df, nf: int, r: float, stats):
+    """The pair plan beyond the driver budget, as a DISTRIBUTED block
+    self-join over the bucket-stats table (the frontier `_near_dup_plan`'s
+    docstring names): same merge rule, same triangle cut, same exact bbox
+    gap test — recall stays provably 1.0 — but no C-row collect and no
+    O(C^2 d) driver BLAS.  Plan buckets hash into B = ceil(C/block)
+    blocks; each unordered block pair is one cogroup task sweeping its
+    (block, block) tile, so total flops are unchanged and spread over
+    B(B+1)/2 executor tasks; shuffle is C*B stats rows.  Each unordered
+    plan-key pair lands in exactly one tile, so the admitted pair set
+    needs no dedup.
+
+    Returns (bsplit broadcast of split coarse ids sorted, admitted-pairs
+    DataFrame (ba, bb) incl. the ba==bb diagonal, both cached in the
+    one-shot registry)."""
+
+    # (1) merge decision per coarse bucket — the driver path's rule:
+    # split only if the coarse bbox is loose relative to r AND populous
+    # enough to amortize the cogroup fan-out.
+    def coarse_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        clo = np.array(pdf["lo"].tolist(), dtype=np.float64).min(axis=0)
+        chi = np.array(pdf["hi"].tolist(), dtype=np.float64).max(axis=0)
+        crad = 0.5 * float(np.sqrt(((chi - clo) ** 2).sum()))
+        return pd.DataFrame(
+            {
+                "coarse": [int(pdf["coarse"].iloc[0])],
+                "keep_split": [bool(crad > r and int(pdf["cnt"].sum()) >= 64)],
+            }
+        )
+
+    with_coarse = stats_df.withColumn("coarse", F.expr(f"bucket DIV {nf}"))
+    split_df = _register_cache(
+        with_coarse.groupBy("coarse").applyInPandas(
+            coarse_combine, schema="coarse long, keep_split boolean"
+        ),
+        _ONESHOT_CACHES,
+    )
+    # the coarse quantizer is sample-bounded (<= sample_rows centroids),
+    # so this collect is slim at ANY corpus size
+    split_ids = np.sort(
+        np.array(
+            [q["coarse"] for q in split_df.filter("keep_split").collect()],
+            np.int64,
+        )
+    )
+    bsplit = spark.sparkContext.broadcast(split_ids)
+
+    # (2) plan buckets: a split coarse keeps one plan bucket per occupied
+    # sub-code (key = composite*2 + 1); a merged one collapses to a single
+    # bucket (key = coarse*2) — disjoint key spaces by the low bit.
+    def plan_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "plan_key": [int(pdf["plan_key"].iloc[0])],
+                "cnt": [int(pdf["cnt"].sum())],
+                "lo": [np.array(pdf["lo"].tolist(), np.float64).min(axis=0).tolist()],
+                "hi": [np.array(pdf["hi"].tolist(), np.float64).max(axis=0).tolist()],
+            }
+        )
+
+    plan_schema = "plan_key long, cnt long, lo array<double>, hi array<double>"
+    plan_df = _register_cache(
+        with_coarse.join(F.broadcast(split_df), "coarse")
+        .withColumn(
+            "plan_key",
+            F.when(F.col("keep_split"), F.col("bucket") * 2 + 1).otherwise(
+                F.col("coarse") * 2
+            ),
+        )
+        .select("plan_key", "cnt", "lo", "hi")
+        .groupBy("plan_key")
+        .applyInPandas(plan_combine, schema=plan_schema),
+        _ONESHOT_CACHES,
+    )
+    n_plan = plan_df.count()
+    n_blocks = max(1, -(-n_plan // _NEAR_DUP_PLAN_BLOCK))
+
+    # (3) pair admission: hash-block self-join.  Each side gets its own
+    # alias scope (same lineage on both cogroup children is ambiguous to
+    # the analyzer otherwise).
+    plan_b = plan_df.withColumn(
+        "blk", F.pmod(F.xxhash64("plan_key"), F.lit(n_blocks)).cast("int")
+    )
+    bp_pdf = pd.DataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        columns=["bi", "bj"],
+    )
+
+    def side(tag: str, edge: str) -> DataFrame:
+        p = plan_b.alias(f"p{tag}")
+        b = F.broadcast(
+            spark.createDataFrame(bp_pdf, schema="bi int, bj int")
+        ).alias(f"b{tag}")
+        return p.join(b, F.col(f"p{tag}.blk") == F.col(f"b{tag}.{edge}")).select(
+            F.col(f"b{tag}.bi").alias("bi"),
+            F.col(f"b{tag}.bj").alias("bj"),
+            F.col(f"p{tag}.plan_key").alias("plan_key"),
+            F.col(f"p{tag}.lo").alias("lo"),
+            F.col(f"p{tag}.hi").alias("hi"),
+        )
+
+    Lb = side("l", "bi")
+    Rb = side("r", "bj")
+
+    def admit(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"ba": [], "bb": []})
+        ka = left["plan_key"].to_numpy(np.int64)
+        kb = right["plan_key"].to_numpy(np.int64)
+        lo_a = np.array(left["lo"].tolist(), np.float64)
+        hi_a = np.array(left["hi"].tolist(), np.float64)
+        lo_b = np.array(right["lo"].tolist(), np.float64)
+        hi_b = np.array(right["hi"].tolist(), np.float64)
+        ca, cb = 0.5 * (lo_a + hi_a), 0.5 * (lo_b + hi_b)
+        ra = 0.5 * np.sqrt(((hi_a - lo_a) ** 2).sum(axis=1))
+        rb = 0.5 * np.sqrt(((hi_b - lo_b) ** 2).sum(axis=1))
+        nb2 = (cb * cb).sum(axis=1)
+        same = int(left["bi"].iloc[0]) == int(left["bj"].iloc[0])
+        out_a, out_b = [], []
+        QC = max(1, 4_000_000 // max(len(kb), 1))  # (QC, Kb) tile ~32 MB
+        for q0 in range(0, len(ka), QC):
+            s = slice(q0, min(q0 + QC, len(ka)))
+            d2 = (
+                (ca[s] * ca[s]).sum(axis=1)[:, None]
+                + nb2[None, :]
+                - 2.0 * (ca[s] @ cb.T)
+            )
+            tri = np.sqrt(np.maximum(d2, 0.0)) <= (
+                r + ra[s][:, None] + rb[None, :] + 1e-9
+            )
+            ii, jj = np.nonzero(tri)
+            ii += q0
+            if same:  # each unordered pair once; diagonal added outside
+                m = ka[ii] < kb[jj]
+                ii, jj = ii[m], jj[m]
+            g = np.maximum(
+                np.maximum(lo_b[jj] - hi_a[ii], lo_a[ii] - hi_b[jj]), 0.0
+            )
+            keep = np.sqrt((g * g).sum(axis=1)) <= r
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ka[ii])
+            out_b.append(kb[jj])
+        a_ = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b_ = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {"ba": np.minimum(a_, b_), "bb": np.maximum(a_, b_)}
+        )
+
+    diag = plan_df.select(
+        F.col("plan_key").alias("ba"), F.col("plan_key").alias("bb")
+    )
+    pair_df = _register_cache(
+        Lb.groupby("bi", "bj")
+        .cogroup(Rb.groupby("bi", "bj"))
+        .applyInPandas(admit, schema="ba long, bb long")
+        .unionByName(diag),
+        _ONESHOT_CACHES,
+    )
+    if stats is not None:
+        cnts = plan_df.select("plan_key", "cnt")
+        row = (
+            pair_df.join(
+                cnts.withColumnRenamed("plan_key", "ba").withColumnRenamed(
+                    "cnt", "ca"
+                ),
+                "ba",
+            )
+            .join(
+                cnts.withColumnRenamed("plan_key", "bb").withColumnRenamed(
+                    "cnt", "cb"
+                ),
+                "bb",
+            )
+            .agg(
+                F.count("*").alias("m"),
+                F.sum(F.col("ca") * F.col("cb")).alias("w"),
+            )
+            .collect()[0]
+        )
+        stats.update(
+            plan="distributed",
+            n_buckets=int(n_plan),
+            n_blocks=int(n_blocks),
+            n_coarse=int(split_df.count()),
+            n_split=int(len(split_ids)),
+            admitted_pairs=int(row["m"]),
+            est_dot_work=float(row["w"]),
+        )
+    return bsplit, pair_df
+
+
+def _near_dup_block_join(
+    spark, embeddings, bc, nf: int, bl, bsplit, pair_df, threshold, margin
+):
+    """Shared back half of embedding_near_dup: re-derive each vector's
+    plan bucket (driver-map mode via the broadcast (buckets, plan_of)
+    searchsorted map, distributed mode via the split-coarse-set rule),
+    fan rows out to their admitted bucket pairs, cross-dot each pair in
+    one cogroup, then rescore survivors with the ORDERED fold both
+    engines share (bit-exact vs the DuckDB oracle)."""
 
     def assign_gen(batches):
         C, R = bc.value
-        keys, pids = bl.value
         for p in batches:
             if len(p) == 0:
                 continue
@@ -966,29 +1211,42 @@ def embedding_near_dup(
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
             coarse = (Mn @ C.T).argmax(axis=1)
             comp = coarse * nf + _fine_codes(Mn, coarse, C, R)
-            pos = np.minimum(np.searchsorted(keys, comp), len(keys) - 1)
-            if (keys[pos] != comp).any():
-                raise RuntimeError(
-                    "assign pass produced a bucket unseen by the stats pass"
-                )
-            pb = pids[pos]
+            if bl is not None:
+                keys, pids = bl.value
+                pos = np.minimum(np.searchsorted(keys, comp), len(keys) - 1)
+                if (keys[pos] != comp).any():
+                    raise RuntimeError(
+                        "assign pass produced a bucket unseen by the stats pass"
+                    )
+                pb = pids[pos]
+            else:
+                split = bsplit.value
+                if len(split):
+                    pos = np.minimum(
+                        np.searchsorted(split, coarse), len(split) - 1
+                    )
+                    is_split = split[pos] == coarse
+                else:
+                    is_split = np.zeros(len(coarse), bool)
+                pb = np.where(is_split, comp * 2 + 1, coarse * 2)
             yield pd.DataFrame(
                 {
                     "vec_id": p["vec_id"].to_numpy(np.int64),
                     "embedding": p["embedding"],
-                    "bucket": pb.astype(np.int32),
+                    "bucket": pb.astype(np.int64),
                 }
             )
 
     emb_t = embeddings.schema["embedding"].dataType.simpleString()
     vb = embeddings.select("vec_id", "embedding").mapInPandas(
-        assign_gen, schema=f"vec_id long, embedding {emb_t}, bucket int"
+        assign_gen, schema=f"vec_id long, embedding {emb_t}, bucket long"
     )
     A = (
         vb.alias("va")
         .join(pair_df.alias("pa"), F.col("va.bucket") == F.col("pa.ba"))
         .select(
-            F.col("pa.pk").alias("pk"),
+            F.col("pa.ba").alias("ba"),
+            F.col("pa.bb").alias("bb"),
             F.col("va.vec_id").alias("vec_id"),
             F.col("va.embedding").alias("embedding"),
         )
@@ -997,7 +1255,8 @@ def embedding_near_dup(
         vb.alias("vb")
         .join(pair_df.alias("pb"), F.col("vb.bucket") == F.col("pb.bb"))
         .select(
-            F.col("pb.pk").alias("pk"),
+            F.col("pb.ba").alias("ba"),
+            F.col("pb.bb").alias("bb"),
             F.col("vb.vec_id").alias("vec_id"),
             F.col("vb.embedding").alias("embedding"),
         )
@@ -1023,8 +1282,8 @@ def embedding_near_dup(
         )
 
     cand = (
-        A.groupby("pk")
-        .cogroup(B.groupby("pk"))
+        A.groupby("ba", "bb")
+        .cogroup(B.groupby("ba", "bb"))
         .applyInPandas(block, schema="id_a long, id_b long")
         .distinct()  # ba==bb diagonal emits each pair twice
     )

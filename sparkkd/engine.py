@@ -115,9 +115,10 @@ def release_caches() -> None:
     round 3 left pose-join intermediates pinned until the next one-shot
     pose join in the process (ADVICE r3)."""
     _release_registry(_ONESHOT_CACHES)
-    from . import so3engine
+    from . import datapipe, so3engine
 
     _release_registry(so3engine._ONESHOT_CACHES)
+    _release_registry(datapipe._ONESHOT_CACHES)
 
 
 # ---------------------------------------------------------------- inputs

@@ -287,6 +287,44 @@ def test_embedding_near_dup_fine_split_adaptive(spark):
     assert s2["n_buckets"] == s2["n_coarse"]
 
 
+def test_embedding_near_dup_distributed_plan_matches_driver(spark, monkeypatch):
+    """Round 5: above _NEAR_DUP_DRIVER_C_MAX occupied buckets the pair
+    plan runs as a distributed hash-block self-join instead of the driver
+    BLAS sweep.  Both plans are recall-1.0 supersets feeding the same
+    exact rescoring, so the OUTPUT must be identical — asserted here with
+    the threshold forced to 0 (always distributed) and the block size
+    forced small so multi-block tiles (bi < bj canonicalization, hash
+    dedup) are actually exercised."""
+    rng = np.random.default_rng(71)
+    n, d, n_clusters = 6_000, 16, 150
+    cents = rng.normal(size=(n_clusters, d))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cid = rng.integers(0, n_clusters, n)
+    X = cents[cid] + 0.015 * rng.normal(size=(n, d))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(map(list, X))}
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+
+    want = (
+        datapipe.embedding_near_dup(emb, threshold=0.9)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(datapipe, "_NEAR_DUP_DRIVER_C_MAX", 0)
+    monkeypatch.setattr(datapipe, "_NEAR_DUP_PLAN_BLOCK", 37)
+    stats: dict = {}
+    got = (
+        datapipe.embedding_near_dup(emb, threshold=0.9, stats=stats)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert stats["plan"] == "distributed"
+    assert stats["n_blocks"] > 1  # multi-block tiles exercised
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+    datapipe._release_registry(datapipe._ONESHOT_CACHES)
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     exact = datapipe.ann_cosine_topk(emb, k=10, block_rows=100).toPandas()
