@@ -145,6 +145,40 @@ def main() -> None:
         results.append(kw)
         print(json.dumps(kw), flush=True)
 
+    # ---- distributed-plan A/B (--dist): the round-5 frontier fix.  Same
+    # corpus, same window: the driver pair plan vs the hash-blocked
+    # distributed plan (_NEAR_DUP_DRIVER_C_MAX forced to 0, block size
+    # forced small so multiple tiles actually run).  Pairs must match
+    # exactly; wall-clock shows what the scale path costs at bench scale.
+    if "--dist" in sys.argv:
+        n = 20_000 if quick else 400_000
+        emb = spark.read.parquet(str(ensure_embeddings(n)))
+        stats: dict = {}
+
+        def run():
+            stats.clear()
+            return datapipe.embedding_near_dup(emb, stats=stats).count()
+
+        secs, pairs = timed(run)
+        emit(
+            op="embedding_near_dup_driverplan", n=n, pairs=pairs, secs=secs,
+            pairs_per_s=round(pairs / min(secs), 1), **stats,
+        )
+        saved = (datapipe._NEAR_DUP_DRIVER_C_MAX, datapipe._NEAR_DUP_PLAN_BLOCK)
+        datapipe._NEAR_DUP_DRIVER_C_MAX = 0
+        datapipe._NEAR_DUP_PLAN_BLOCK = 1024
+        try:
+            secs2, pairs2 = timed(run)
+            emit(
+                op="embedding_near_dup_distplan", n=n, pairs=pairs2, secs=secs2,
+                pairs_per_s=round(pairs2 / min(secs2), 1), **stats,
+            )
+        finally:
+            datapipe._NEAR_DUP_DRIVER_C_MAX, datapipe._NEAR_DUP_PLAN_BLOCK = saved
+        assert pairs2 == pairs, f"plan paths disagree: {pairs} vs {pairs2}"
+        print("ALL:", json.dumps(results))
+        return
+
     # ---- embedding_near_dup ladder
     for n in [100_000, 400_000] if not quick else [20_000]:
         p = ensure_embeddings(n)
