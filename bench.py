@@ -26,6 +26,11 @@ def build_session(cpus: int):
     from sparkkd.envtune import disable_thp
 
     disable_thp()  # THP compaction stalls dominate runtime in this VM
+    # python workers fork from the JVM and read this at first Arrow use —
+    # covers workers even when sparkkd imports late (see envtune)
+    pool = os.environ.get("SPARKKD_ARROW_POOL", "mimalloc").lower()
+    if pool in ("mimalloc", "system", "jemalloc"):
+        os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", pool)
 
     import pathlib
 

@@ -167,8 +167,19 @@ def submit(n_exec: int, zip_path: Path, mem_mb: int, exec_mem: str) -> dict:
         "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        # executor python workers read this at first Arrow use (the
+        # sparkkd import also sets the pool at runtime; see envtune)
+        "--conf", "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL=mimalloc",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
+        *(
+            [
+                "--conf", "spark.eventLog.enabled=true",
+                "--conf", f"spark.eventLog.dir={os.environ['SPARKKD_LC_EVENTLOG']}",
+            ]
+            if os.environ.get("SPARKKD_LC_EVENTLOG")
+            else []
+        ),
         str(Path(__file__)),
         "--worker", str(n_exec),
     ]
@@ -195,11 +206,16 @@ def main() -> None:
     synth.ensure_pose_fixtures(TAG)  # untimed input materialization
     zip_path = build_zip()
 
+    levels = tuple(
+        int(x) for x in os.environ.get("SPARKKD_LC_LEVELS", "1,4").split(",")
+    )
     out = {}
-    for n_exec in (1, 4):
+    for n_exec in levels:
         res = submit(n_exec, zip_path, mem_mb=17408, exec_mem="14g")
         out[str(n_exec)] = res
         print(json.dumps(res), flush=True)
+    if not ("1" in out and "4" in out):
+        return  # diagnostic single-level run
     assert out["1"]["pairs"] == out["4"]["pairs"], "pair count differs across cluster sizes"
     eff = out["4"]["rate"] / (4.0 * out["1"]["rate"])
     desc = (

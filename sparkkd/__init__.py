@@ -37,3 +37,14 @@ streaming  Structured Streaming ingest -> snapshot forest; windowed aggs
 """
 
 __version__ = "0.2.0"
+
+# Allocator tuning for NumPy/Arrow-heavy kernels — must run in EVERY
+# process that executes them, including Spark Python workers (which
+# import this package when unpickling UDF closures): glibc malloc knobs
+# for NumPy temporaries, mimalloc for the Arrow batch pool.  See envtune
+# for the measured page-fault-churn pathology both address.
+from .envtune import tune_arrow_pool as _tune_arrow_pool
+from .envtune import tune_malloc as _tune_malloc
+
+_tune_malloc()
+_tune_arrow_pool()
