@@ -82,6 +82,17 @@ CELL_MASK = (np.int64(1) << LVL_SHIFT) - 1
 GROUP_SHIFT = 1  # partitions pack under the base level's ancestor this far up
 REFINE_STEP = 3  # hot base cells refine this many levels deeper
 MAX_LEAF_LEVEL = 10
+# kNN-phase-2 heavy-group split target, in (candidate rows x partition
+# poses) work units.  Lower than the radius default (4M): a radius group
+# emits output proportional to its work, so Arrow materialization already
+# dominates small groups, while a kNN group emits only ~k rows per
+# candidate — per-unit kernel cost is far lower and only much larger
+# groups amortize the per-subgroup corpus replication + tree rebuild.
+# Measured (sf2, 400k x 4M, k=4): unsplit groups ran 5 s -> 90 s at
+# ~uniform candidate counts (per-candidate scan cost varies ~20x with
+# local pose density), so the single heaviest task WAS the stage wall;
+# at 1e8 the heaviest group splits ~11-way (~8 s worst task).
+_KNN_SPLIT_TARGET = 100_000_000
 
 QCOLS = ("qw", "qx", "qy", "qz")
 TCOLS = ("tx", "ty", "tz")
@@ -1302,11 +1313,14 @@ def _so3_knn_on_index(
         ),
         cache_registry,
     )
-    # ONE builder job: the collect fills the p1 cache (upstream) +
-    # p2_cand cache AND yields the probed part_keys as an InSet pushdown
-    # (replaces the round-3 count job + broadcast-exchange job)
-    keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
-    corp_probe = _probe_filter(spark, corpus, keys)
+    # ONE builder job: _split_heavy_groups' count-collect fills the p1
+    # cache (upstream) + p2_cand cache, yields the probed part_keys as an
+    # InSet pushdown AND splits heavy cogroups query-side (measured at
+    # sf2: per-task kernel time varied 5 s -> 90 s at ~uniform candidate
+    # counts, so ONE task was the wall-clock floor at any core count)
+    cand_g, corp_probe = _split_heavy_groups(
+        spark, p2_cand, corpus, layout, split_target=_KNN_SPLIT_TARGET
+    )
 
     def p2_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1331,8 +1345,8 @@ def _so3_knn_on_index(
         )
 
     p2 = (
-        p2_cand.groupby("part_key")
-        .cogroup(corp_probe.groupby("part_key"))
+        cand_g.groupby("part_key", "gsalt")
+        .cogroup(corp_probe.groupby("part_key", "gsalt"))
         .applyInPandas(p2_group, schema="query_id string, pose_id string, ang double")
     )
 
@@ -2121,13 +2135,15 @@ def _se3_knn_on_index(
     p2_cand = _register_cache(
         p2_cand.join(pid_salts, "pid").drop("pid"), cache_registry
     )
-    # ONE builder job: collect fills both caches + InSet probe pushdown
-    # (see _so3_knn_on_index)
-    keys = [r["part_key"] for r in p2_cand.select("part_key").distinct().collect()]
-    corp_probe = _probe_filter(spark, corpus, keys)
+    # ONE builder job: _split_heavy_groups' count-collect fills both
+    # caches + InSet probe pushdown AND splits heavy cogroups query-side
+    # (see _so3_knn_on_index — the sf2 straggler measurement)
+    cand_g, corp_probe = _split_heavy_groups(
+        spark, p2_cand, corpus, layout, split_target=_KNN_SPLIT_TARGET
+    )
     p2 = (
-        p2_cand.groupby("part_key")
-        .cogroup(corp_probe.groupby("part_key"))
+        cand_g.groupby("part_key", "gsalt")
+        .cogroup(corp_probe.groupby("part_key", "gsalt"))
         .applyInPandas(
             _make_se3_group(k, rw, tw, carry=False),
             schema="query_id string, pose_id string, dist double",

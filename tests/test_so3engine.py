@@ -395,3 +395,37 @@ def test_leaf_broadcast_budget_invariance(spark, pose_data, monkeypatch):
     for b, c in zip(base, capped):
         pd.testing.assert_frame_equal(b, c)
         assert len(b) > 0
+
+
+def test_knn_p2_heavy_group_split_identity(spark, pose_data, monkeypatch):
+    """Round 5: kNN phase-2 cogroups split query-side when estimated work
+    (candidates x partition poses) exceeds _KNN_SPLIT_TARGET — measured at
+    sf2, unsplit per-task kernel time varied 5 s -> 90 s at ~uniform
+    candidate counts, making one task the stage wall at any core count.
+    Query-side splitting is exact (every subgroup sees the partition's
+    full corpus; the rerank dedupes by (query, pose)), so forcing EVERY
+    group to split (target=1) must be bit-identical to no split
+    (target=huge)."""
+    poses, queries, ppdf, _ = pose_data
+
+    def both():
+        knn = (
+            so3engine.so3_knn_join(
+                spark, poses, queries, k=4, n_poses_hint=len(ppdf)
+            ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        sknn = (
+            so3engine.se3_knn_join(
+                spark, poses, queries, k=4, rot_weight=2.0, trans_weight=0.5,
+                n_poses_hint=len(ppdf),
+            ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        return knn, sknn
+
+    monkeypatch.setattr(so3engine, "_KNN_SPLIT_TARGET", 10**18)
+    unsplit = both()
+    monkeypatch.setattr(so3engine, "_KNN_SPLIT_TARGET", 1)
+    forced = both()
+    for u, f in zip(unsplit, forced):
+        pd.testing.assert_frame_equal(u, f)
+        assert len(u) > 0
