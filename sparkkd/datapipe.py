@@ -52,6 +52,12 @@ _NEAR_DUP_DRIVER_C_MAX = int(
 _NEAR_DUP_PLAN_BLOCK = int(
     os.environ.get("SPARKKD_NEAR_DUP_PLAN_BLOCK", "4096")
 )
+# assign-pass consistency guard in distributed-plan mode: plan-key ids
+# (int64, 8 B each — ~128x slimmer than the stats rows the mode avoids
+# collecting) broadcast so the UDF can raise on an unseen bucket like the
+# driver plan does; above this many plan buckets (default 16M = 128 MB)
+# the guard is skipped to keep the driver transfer bounded.
+_GUARD_IDS_MAX = int(os.environ.get("SPARKKD_NEAR_DUP_GUARD_IDS_MAX", "16777216"))
 
 # ------------------------------------------------------------ dedup: exact
 
@@ -461,17 +467,20 @@ def ann_cosine_topk(
     matching SQL round; tie-broken by neighbor id) so independent engines
     agree despite summation-order float noise.
 
-    The dominant (Q, N/B, d) matmul runs in FLOAT32 (embeddings are
-    float32 on disk and on the wire — ``list<float>`` parquet, no upcast
-    before the cogroup); per query, every candidate within 1e-3 of the
-    float32 kth similarity is RESCORED in float64 from the exact
-    float32->float64 cast of the raw vectors, reproducing the pure-f64
-    scores bit-for-bit.  The margin covers the worst-case f32 dot error
-    (~(d+2)*eps32 ~ 1e-5 at d=64) plus the 6dp round-tie width (1e-6),
-    so the selected set provably contains every true top-k candidate —
-    half the flops and a (Q, N/B) float32 (not float64) similarity
-    temporary, same answers (asserted against the full-f64 path in
-    tests and by the DuckDB oracle row)."""
+    The dominant (Q, N/B, d) matmul runs in FLOAT32; per query, every
+    candidate within an error margin of the float32 kth similarity is
+    RESCORED in float64 from the ORIGINAL input values (f64 inputs stay
+    exact — the f32 cast touches only the selection matmul, never the
+    reported sims), reproducing the pure-f64 scores bit-for-bit.  The
+    margin is ``1e-3 + 4*(d+8)*eps32``: the floor covers the 6dp
+    round-tie width plus the f32 input-cast error at small d, the scaled
+    term the worst-case accumulated f32 dot error of unit vectors at any
+    dimensionality (naive-summation bound ~(d+2)*eps32; BLAS blocked
+    summation is tighter, the 4x is headroom), so the selected set
+    provably contains every true top-k candidate — half the flops and a
+    (Q, N/B) float32 (not float64) similarity temporary, same answers
+    (asserted against the full-f64 path in tests and by the DuckDB
+    oracle row)."""
     spark = embeddings.sparkSession
     n = embeddings.count()
     n_blocks = max(1, -(-n // block_rows))
@@ -488,26 +497,29 @@ def ann_cosine_topk(
         if len(left) == 0 or len(right) == 0:
             return empty
         ids = right["vec_id"].to_numpy(np.int64)
-        M32 = np.array(right["embedding"].tolist(), dtype=np.float32)
-        Mn32 = M32 / np.linalg.norm(M32, axis=1, keepdims=True)
-        # float64 normalization of the SAME raw values (f32->f64 cast is
-        # exact) — only gathered row-wise for rescoring, never matmul'd
-        M64 = M32.astype(np.float64)
+        # float64 view of the RAW input values — rescoring reads these, so
+        # f64 inputs are never quantized; f32 is a selection-only cast
+        M64 = np.array(right["embedding"].tolist(), dtype=np.float64)
         Mn64 = M64 / np.linalg.norm(M64, axis=1, keepdims=True)
+        M32 = M64.astype(np.float32)
+        Mn32 = M32 / np.linalg.norm(M32, axis=1, keepdims=True)
+        marg = np.float32(
+            1e-3 + 4.0 * (M64.shape[1] + 8) * np.finfo(np.float32).eps
+        )
         out = []
         kk = min(k, len(ids))
         for c0 in range(0, len(left), 4096):  # memory-bounding chunk loop
             p = left.iloc[c0 : c0 + 4096]
-            q32 = np.array(p["embedding"].tolist(), dtype=np.float32)
-            qn32 = q32 / np.linalg.norm(q32, axis=1, keepdims=True)
-            q64 = q32.astype(np.float64)
+            q64 = np.array(p["embedding"].tolist(), dtype=np.float64)
             qn64 = q64 / np.linalg.norm(q64, axis=1, keepdims=True)
+            q32 = q64.astype(np.float32)
+            qn32 = q32 / np.linalg.norm(q32, axis=1, keepdims=True)
             qids = p["vec_id"].to_numpy(np.int64)
             sim32 = qn32 @ Mn32.T  # (Bq, Nb) — the hot matmul, f32
             sim32[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
             # select every candidate within the error margin of the f32 kth
             kth = np.partition(sim32, -kk, axis=1)[:, -kk]
-            rq, rc = np.nonzero(sim32 >= (kth[:, None] - np.float32(1e-3)))
+            rq, rc = np.nonzero(sim32 >= (kth[:, None] - marg))
             # exact float64 rescore of selected pairs only
             simr = _round6_away(
                 np.einsum("ij,ij->i", qn64[rq], Mn64[rc])
@@ -917,13 +929,22 @@ def embedding_near_dup(
         )
     if n_occ > _NEAR_DUP_DRIVER_C_MAX:
         bl = None
-        bsplit, pair_df = _near_dup_plan_distributed(
+        bsplit, pair_df, pguard = _near_dup_plan_distributed(
             spark, stats_df, nf, r, stats
         )
         return _near_dup_block_join(
-            spark, embeddings, bc, nf, bl, bsplit, pair_df, threshold, margin
+            spark, embeddings, bc, nf, bl, bsplit, pair_df, threshold, margin,
+            pguard=pguard,
         )
     spdf = stats_df.toPandas()
+    # the driver plan needs nothing further from stats_df — release it
+    # now instead of pinning C bbox rows in executor memory until the
+    # NEXT near-dup call drains the one-shot registry
+    try:
+        _ONESHOT_CACHES.remove(stats_df)
+    except ValueError:
+        pass
+    stats_df.unpersist()
     d = len(spdf["lo"].iloc[0])
     buckets = np.sort(spdf["bucket"].unique())
     inv = np.searchsorted(buckets, spdf["bucket"].to_numpy())
@@ -1189,11 +1210,24 @@ def _near_dup_plan_distributed(spark, stats_df, nf: int, r: float, stats):
             admitted_pairs=int(row["m"]),
             est_dot_work=float(row["w"]),
         )
-    return bsplit, pair_df
+    # occupied plan-key ids for the assign pass's consistency guard —
+    # the same "unseen bucket" raise the driver plan has.  int64 ids are
+    # ~128x slimmer than the stats rows this mode exists to avoid
+    # collecting (8 B vs 2 bbox arrays: 8 MB at C = 10^6 plan buckets),
+    # but the budget is still honored: above _GUARD_IDS_MAX the guard is
+    # skipped rather than re-introducing an unbounded driver transfer.
+    pguard = None
+    if n_plan <= _GUARD_IDS_MAX:
+        ids = np.sort(
+            plan_df.select("plan_key").toPandas()["plan_key"].to_numpy(np.int64)
+        )
+        pguard = spark.sparkContext.broadcast(ids)
+    return bsplit, pair_df, pguard
 
 
 def _near_dup_block_join(
-    spark, embeddings, bc, nf: int, bl, bsplit, pair_df, threshold, margin
+    spark, embeddings, bc, nf: int, bl, bsplit, pair_df, threshold, margin,
+    pguard=None,
 ):
     """Shared back half of embedding_near_dup: re-derive each vector's
     plan bucket (driver-map mode via the broadcast (buckets, plan_of)
@@ -1229,6 +1263,20 @@ def _near_dup_block_join(
                 else:
                     is_split = np.zeros(len(coarse), bool)
                 pb = np.where(is_split, comp * 2 + 1, coarse * 2)
+                if pguard is not None:
+                    # same guard strength as the driver branch above: a
+                    # vector landing in a plan bucket the stats pass never
+                    # saw would silently join NOTHING (not even its own
+                    # diagonal pair) — raise loudly instead
+                    keys = pguard.value
+                    pos = np.minimum(
+                        np.searchsorted(keys, pb), len(keys) - 1
+                    )
+                    if (keys[pos] != pb).any():
+                        raise RuntimeError(
+                            "assign pass produced a plan bucket unseen by"
+                            " the distributed stats pass"
+                        )
             yield pd.DataFrame(
                 {
                     "vec_id": p["vec_id"].to_numpy(np.int64),

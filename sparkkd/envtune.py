@@ -83,7 +83,10 @@ def tune_arrow_pool() -> bool:
     import os
 
     choice = os.environ.get("SPARKKD_ARROW_POOL", "mimalloc").lower()
-    if choice in ("off", "jemalloc"):
+    if choice not in ("system", "mimalloc"):
+        # fail safe: "off"/"jemalloc" keep pyarrow's default, and so does
+        # any unrecognized value (a typo'd opt-out must not install the
+        # pool it was trying to avoid)
         return False
     try:
         import pyarrow as pa

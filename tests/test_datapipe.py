@@ -564,6 +564,44 @@ def test_ann_cosine_f32_select_matches_full_f64(spark):
     assert res["sim"].tolist() == want["sim"].tolist()  # bit-exact
 
 
+def test_ann_cosine_exact_for_f64_inputs(spark):
+    """array<double> inputs whose values are NOT float32-representable
+    must score exactly: the f32 cast is selection-only, the reported sims
+    rescore from the ORIGINAL f64 values (regression: an earlier draft
+    rescored from the f32-truncated matrix, silently quantizing any f64
+    caller)."""
+    rng = np.random.default_rng(11)
+    # values like 0.1 + tiny irrational offsets are never f32-exact
+    M = rng.standard_normal((80, 16)) * (1.0 / 3.0) + 1e-9
+    assert (M.astype(np.float32).astype(np.float64) != M).any()
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(80, dtype=np.int64), "embedding": list(map(list, M))}
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    res = (
+        datapipe.ann_cosine_topk(emb, k=4, block_rows=30)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = datapipe._round6_away(Mn @ Mn.T)
+    rows = []
+    for qi in range(80):
+        s = S[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((np.arange(80), -s))[:4]
+        for r, j in enumerate(order):
+            rows.append((qi, j, s[j], r + 1))
+    want = (
+        pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim", "rank"])
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert res["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+    assert res["sim"].tolist() == want["sim"].tolist()  # bit-exact in f64
+
+
 def test_embeddings_stay_float32_on_the_wire(spark):
     """Scale guard: the ANN inputs must ship as array<float> (float32)
     through the shuffle — an accidental upcast to array<double> would
