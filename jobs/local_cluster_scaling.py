@@ -161,6 +161,21 @@ def submit(n_exec: int, zip_path: Path, mem_mb: int, exec_mem: str) -> dict:
         "--py-files", str(zip_path),
         "--driver-memory", "20g",
         "--conf", f"spark.executor.memory={exec_mem}",
+        # a real cluster gives each executor its own machine; on this
+        # shared host each executor JVM must be sized to its SLICE:
+        # GC threads capped at its core count (default would be ~23 PER
+        # JVM on a 32-core host — 4 executors would run ~90 GC threads),
+        # and the heap pre-touched at launch (this VM faults fresh pages
+        # pathologically slowly; -Xms alone maps lazily, so E x 14g of
+        # first-touch faults would otherwise land inside the TIMED runs)
+        "--conf",
+        "spark.executor.extraJavaOptions="
+        + os.environ.get(
+            "SPARKKD_LC_EXEC_JAVA_OPTS",
+            f"-XX:ParallelGCThreads={CORES_PER_EXEC}"
+            f" -XX:ConcGCThreads={max(1, CORES_PER_EXEC // 4)}"
+            " -XX:+AlwaysPreTouch",
+        ),
         "--conf", f"spark.local.dir={shm}",
         "--conf", "spark.sql.shuffle.partitions=32",
         "--conf", "spark.sql.adaptive.enabled=true",

@@ -1416,7 +1416,7 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
     keys = [int(r_["part_key"]) for r_ in crows]
     pc = layout.p_counts
     psn = layout.p_salt_n
-    splits: dict[int, int] = {}
+    works: list[tuple[int, int, int]] = []
     for r_ in crows:
         k_ = int(r_["part_key"])
         pid = k_ >> SALT_BITS
@@ -1425,8 +1425,27 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
         # (ceil) — estimating with the full pc overestimated work by up to
         # salt_n and replicated corpus rows for groups needing no split
         ppg = -(-int(pc[pid]) // max(int(psn[pid]), 1))
-        work = int(r_["count"]) * ppg
-        s_ = min(256, max(1, -(-work // split_target)))
+        works.append((k_, int(r_["count"]), int(r_["count"]) * ppg))
+    # adaptive target: the static split_target bounds PER-TASK work, but a
+    # workload of few hot groups can still leave most of the cluster idle
+    # (event-log measurement, E=4x8 local-cluster: the phase-2 cogroup ran
+    # 9-14 tasks with max-task ~= stage wall at every cluster size).  Aim
+    # for ~3 waves of defaultParallelism tasks when total work justifies
+    # it; never finer than split_target/64 (every split replicates the
+    # group's corpus rows once more through the broadcast explode), and
+    # never coarser than the static target.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    total_work = sum(w for _, _, w in works)
+    tgt = min(
+        split_target,
+        max(total_work // (3 * par), max(split_target // 64, 1)),
+    )
+    splits: dict[int, int] = {}
+    for k_, cnt, work in works:
+        s_ = min(256, max(1, -(-work // tgt)))
+        # keep >=64 candidate rows per subtask — finer buys no balance
+        # and multiplies corpus-side tree builds
+        s_ = min(s_, max(1, cnt // 64))
         if s_ > 1:
             splits[k_] = s_
     base_probe = _probe_filter(spark, corpus, keys)
@@ -1435,6 +1454,11 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
             cand.withColumn("gsalt", F.lit(0).cast("int")),
             base_probe.withColumn("gsalt", F.lit(0).cast("int")),
         )
+    # explicit schemas: without Arrow-enabled createDataFrame the pandas
+    # fallback infers LongType for int32 columns, and a bigint gsalt on
+    # ONE cogroup side hash-partitions differently from the int gsalt on
+    # the other — groups silently mispair and pairs vanish (caught by the
+    # sf0.01 oracle the first time splits triggered at that scale)
     smap = F.broadcast(
         spark.createDataFrame(
             pd.DataFrame(
@@ -1442,7 +1466,8 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
                     "part_key": np.array(list(splits), np.int64),
                     "n_split": np.array(list(splits.values()), np.int32),
                 }
-            )
+            ),
+            schema="part_key long, n_split int",
         )
     )
     cand = (
@@ -1467,7 +1492,8 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
                         [np.arange(v) for v in splits.values()]
                     ).astype(np.int32),
                 }
-            )
+            ),
+            schema="part_key long, gsalt int",
         )
     )
     heavy = base_probe.join(exp, "part_key")
@@ -1476,7 +1502,17 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
             exp.select("part_key").distinct(), "part_key", "left_anti"
         ).withColumn("gsalt", F.lit(0).cast("int"))
     )
-    return cand, heavy.unionByName(light.select(*heavy.columns))
+    probe = heavy.unionByName(light.select(*heavy.columns))
+    # the cogroup pairs groups by HASH of (part_key, gsalt): a dtype
+    # mismatch between the sides is silent row loss, never an error —
+    # fail loudly here instead
+    ct = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
+    pt = {f.name: f.dataType.simpleString() for f in probe.schema.fields}
+    if (ct["part_key"], ct["gsalt"]) != (pt["part_key"], pt["gsalt"]):
+        raise AssertionError(
+            f"cogroup key dtype mismatch: cand={ct}, probe={pt}"
+        )
+    return cand, probe
 
 
 def _so3_radius_on_index(

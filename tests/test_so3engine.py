@@ -429,3 +429,41 @@ def test_knn_p2_heavy_group_split_identity(spark, pose_data, monkeypatch):
     for u, f in zip(unsplit, forced):
         pd.testing.assert_frame_equal(u, f)
         assert len(u) > 0
+
+
+def test_radius_heavy_group_split_identity(spark, pose_data, monkeypatch):
+    """The RADIUS twin of the kNN split-identity test.  Regression: the
+    split explode map was built by createDataFrame without a schema, so a
+    non-Arrow session inferred bigint for the int32 gsalt — the cogroup
+    then hash-partitioned the two sides differently and (query, pose)
+    pairs silently vanished (sf0.01 oracle: 124,134 -> 70,898 rows the
+    first time the adaptive target made radius groups split at that
+    scale).  Forcing every group to split must be bit-identical to no
+    split; the engine additionally asserts cogroup-key dtype parity."""
+    poses, queries, ppdf, _ = pose_data
+
+    def both():
+        rad = (
+            so3engine.so3_radius_join(
+                spark, poses, queries, r=0.3, n_poses_hint=len(ppdf)
+            ).toPandas().sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+        )
+        srad = (
+            so3engine.se3_radius_join(
+                spark, poses, queries, r=0.7, rot_weight=2.0, trans_weight=0.5,
+                n_poses_hint=len(ppdf),
+            ).toPandas().sort_values(["query_id", "pose_id"]).reset_index(drop=True)
+        )
+        return rad, srad
+
+    orig = so3engine._split_heavy_groups
+
+    def forced(spark_, cand, corpus, layout, split_target=4_000_000):
+        return orig(spark_, cand, corpus, layout, split_target=1)
+
+    unsplit = both()
+    monkeypatch.setattr(so3engine, "_split_heavy_groups", forced)
+    split = both()
+    for u, f in zip(unsplit, split):
+        pd.testing.assert_frame_equal(u, f)
+        assert len(u) > 0
