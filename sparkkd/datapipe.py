@@ -286,12 +286,17 @@ def minhash_lsh_pairs(
 # ------------------------------------------- dedup: exact Hamming banding
 
 
-def phash_near_dup(
-    images: DataFrame, max_hamming: int = 8, variant_bits: int = 1
+def _hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    variant_bits: int,
 ) -> DataFrame:
-    """EXACT near-duplicate image pairs by Hamming distance on the 64-bit
-    perceptual hash: all (a, b) with ``popcount(phash_a XOR phash_b) <=
-    max_hamming``, a < b by image_id.
+    """EXACT near-duplicate pairs by Hamming distance on a 64-bit signed
+    hash column: all (a, b) with ``popcount(hash_a XOR hash_b) <=
+    max_hamming``, a < b by id.  Shared kernel of `phash_near_dup` (images)
+    and `simhash_near_dup` (documents).  Output (id_a, id_b, hamming:int).
 
     MULTI-INDEX pigeonhole banding (the scalable simhash/phash pattern,
     upgraded from round-1's exact-match bands): split the 64 bits into
@@ -315,6 +320,7 @@ def phash_near_dup(
     Output (id_a, id_b, hamming), hamming as int."""
     v = int(variant_bits)
     assert v in (1, 2), "variant_bits must be 1 or 2"
+    src = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
     m = max_hamming // (v + 1) + 1
     base_w = 64 // m
     rem = 64 % m
@@ -324,9 +330,9 @@ def phash_near_dup(
     for b in range(m):
         wd = base_w + (1 if b < rem else 0)
         if lo + wd < 64:
-            key = f"(shiftrightunsigned(phash, {lo}) & {(1 << wd) - 1})"
+            key = f"(shiftrightunsigned(_h, {lo}) & {(1 << wd) - 1})"
         else:  # top block reaches bit 63: the logical shift IS the mask
-            key = f"shiftrightunsigned(phash, {lo})"
+            key = f"shiftrightunsigned(_h, {lo})"
         plain_exprs.append(f"struct({b} AS band, {key} AS key)")
         if v == 1:
             # j = -1 emits the plain key; j in 0..wd-1 flips one bit of it
@@ -348,19 +354,19 @@ def phash_near_dup(
                 f" array(struct({b} AS band, {key} AS key)))"
             )
         lo += wd
-    plain = images.select(
-        F.col("image_id"),
-        F.col("phash"),
+    plain = src.select(
+        "_id",
+        "_h",
         F.explode(F.expr(f"array({', '.join(plain_exprs)})")).alias("e"),
-    ).select("image_id", "phash", "e.band", "e.key")
-    variants = images.select(
-        F.col("image_id"),
-        F.col("phash"),
+    ).select("_id", "_h", "e.band", "e.key")
+    variants = src.select(
+        "_id",
+        "_h",
         F.explode(F.expr(f"flatten(array({', '.join(var_exprs)}))")).alias("e"),
-    ).select("image_id", "phash", "e.band", "e.key")
+    ).select("_id", "_h", "e.band", "e.key")
     a = variants.alias("a")
     b = plain.alias("b")
-    # a pair within distance t has a block with <= 1 differing bit: either
+    # a pair within distance t has a block with <= v differing bits: either
     # the plain keys match (variant j=-1) or a's flipped key hits b's plain
     # key.  Flipping is symmetric, so indexing variants on ONE side only
     # (with id_a < id_b) still covers every pair.
@@ -371,17 +377,26 @@ def phash_near_dup(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.image_id").alias("id_a"),
-            F.col("b.image_id").alias("id_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
         .select("id_a", "id_b", F.col("hamming").cast("int"))
     )
+
+
+def phash_near_dup(
+    images: DataFrame, max_hamming: int = 8, variant_bits: int = 1
+) -> DataFrame:
+    """EXACT near-duplicate image pairs by Hamming distance on the 64-bit
+    perceptual hash (see `_hamming_band_pairs`): all (id_a, id_b) with
+    ``popcount(phash_a XOR phash_b) <= max_hamming``, id_a < id_b."""
+    return _hamming_band_pairs(images, "image_id", "phash", max_hamming, variant_bits)
 
 
 # --------------------------------------------------------- dedup: SimHash
@@ -435,6 +450,31 @@ def simhash64(docs: DataFrame) -> DataFrame:
             ).alias("simhash")
         )
         .select("doc_id", "simhash")
+    )
+
+
+def simhash_near_dup(
+    docs: DataFrame, max_hamming: int = 6, variant_bits: int = 1
+) -> DataFrame:
+    """EXACT near-duplicate document pairs by Hamming distance on the
+    64-bit SimHash fingerprint: all (doc_a, doc_b) with
+    ``popcount(simhash_a XOR simhash_b) <= max_hamming``, doc_a < doc_b.
+
+    The text-side twin of `phash_near_dup` — `simhash64`'s fingerprints
+    feed the same multi-index pigeonhole banding kernel
+    (`_hamming_band_pairs`), so the candidate stage is co-partitioned
+    equi-joins (never a cross join) and the exact popcount filter decides.
+    At the default t=6, v=1: 4 blocks, 16-bit keys, ~68 index rows/doc.
+    Completes the dedup ladder (exact -> n-gram Jaccard -> MinHash LSH ->
+    SimHash) with the classic Manku-style near-dup detector: reference
+    analogue is the same nearest-pair semantics as `test/kdtree_test.cpp`
+    exact-NN checks, on Hamming space instead of L2."""
+    return _hamming_band_pairs(
+        simhash64(docs), "doc_id", "simhash", max_hamming, variant_bits
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )
 
 

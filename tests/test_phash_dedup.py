@@ -83,3 +83,35 @@ def test_phash_near_dup_v2_scheme_identical(spark):
     )
     assert a.equals(b)
     assert len(a) > 0
+
+def test_simhash_near_dup_matches_brute_force(spark):
+    """simhash_near_dup (banding over simhash64 fingerprints) must equal a
+    brute-force Hamming self-join over the SAME fingerprints, at multiple
+    thresholds and both banding variants."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(50)]
+    # near-dups: perturb a few words of some docs so hamming lands small
+    for i in range(15):
+        toks = texts[i].split(" ")
+        for p in rng.choice(len(toks), size=rng.integers(1, 4), replace=False):
+            toks[p] = str(rng.choice(vocab))
+        texts.append(" ".join(toks))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i:06d}" for i in range(len(texts))],
+                      "text": texts})
+    )
+    sh = datapipe.simhash64(docs).toPandas().sort_values("doc_id")
+    ids = sh["doc_id"].tolist()
+    fp = sh["simhash"].to_numpy(np.int64)
+    for t in (2, 6):
+        want = _brute(fp, ids, t)
+        for v in (1, 2):
+            got = (
+                datapipe.simhash_near_dup(docs, max_hamming=t, variant_bits=v)
+                .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            )
+            assert list(map(tuple, got.to_numpy())) == want, (t, v)
+    assert len(_brute(fp, ids, 6)) > 0  # fixture plants real near-dups
