@@ -209,6 +209,22 @@ def main() -> None:
             docs_per_s=round(n / min(secs), 1),
         )
 
+    # ---- simhash_near_dup ladder (same document fixtures; the heavy
+    # stage is simhash64's (doc, tok) x 64-bit vote aggregation — a
+    # ~2.4k-rows/doc shuffle that the rung prices honestly)
+    for n in [20_000, 80_000] if not quick else [2_000]:
+        p = ensure_documents(n)
+        docs = spark.read.parquet(str(p))
+
+        def run():
+            return datapipe.simhash_near_dup(docs, max_hamming=6).count()
+
+        secs, pairs = timed(run)
+        emit(
+            op="simhash_near_dup", n=n, pairs=pairs, secs=secs,
+            docs_per_s=round(n / min(secs), 1),
+        )
+
     # ---- phash_near_dup ladder (synth image fixtures)
     for tag in ["sf0.01", "sf0.1"] if not quick else ["sf0.01"]:
         root = synth.ensure_fixtures(tag)
