@@ -328,3 +328,36 @@ def test_f32_outward_padding_is_superset_and_halves_bytes():
     assert (hi32.astype(np.float64) >= hi).all()
     assert lo32.nbytes * 2 == lo.nbytes
     assert S._f32_pair(None, None) == (None, None)
+
+def test_greedy_pack_matches_scalar_loop():
+    """_greedy_pack (searchsorted per partition) must reproduce the
+    per-leaf greedy loop it replaced, including oversized single leaves,
+    zero-count leaves, and ancestor breaks."""
+
+    def scalar_pack(counts, anc, cap):
+        pids = np.empty(len(counts), np.int64)
+        cur, acc, prev = -1, 0, None
+        for i in range(len(counts)):
+            c, a = int(counts[i]), int(anc[i])
+            if cur < 0 or a != prev or acc + c > cap:
+                cur += 1
+                acc = 0
+                prev = a
+            pids[i] = cur
+            acc += c
+        return pids
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        C = int(rng.integers(1, 400))
+        cap = int(rng.integers(1, 50))
+        counts = rng.integers(0, cap * 2 + 1, C).astype(np.int64)
+        # sorted ancestor runs, as build_layout's lexsort guarantees
+        anc = np.sort(rng.integers(0, max(1, C // 8) + 1, C)).astype(np.int64)
+        got = S._greedy_pack(counts, anc, cap)
+        want = scalar_pack(counts, anc, cap)
+        assert np.array_equal(got, want), (trial, counts[:10], anc[:10], cap)
+    assert np.array_equal(
+        S._greedy_pack(np.array([], np.int64), np.array([], np.int64), 5),
+        np.array([], np.int64),
+    )
