@@ -353,6 +353,33 @@ def _sessionize_batch(ts_us, vals, cur, gap_us):
     return closed, cur
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Streaming exact dedup for an ingestion pipeline: emit the FIRST
+    arrival per content hash, drop later duplicates, with dedup state
+    BOUNDED by the event-time watermark (``dropDuplicatesWithinWatermark``
+    — Spark expires a hash's state once the watermark passes its event
+    time, so 10^12-document ingestion streams with finite state).
+
+    The streaming twin of :func:`sparkkd.datapipe.dedup_exact` (same
+    md5 content hash).  Semantics differ exactly as Spark documents:
+    batch keeps a deterministic keeper (min doc_id) over the WHOLE
+    corpus, streaming keeps the first arrival and may re-admit a
+    duplicate separated by more than the watermark horizon — the batch
+    op is the compaction-time backstop.  Output: the input columns plus
+    ``content_hash``, one row per distinct in-horizon hash."""
+    hashed = docs.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withColumn("content_hash", F.md5(F.concat_ws("\x1f", *content_cols)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     gap_us: int = 300_000_000,

@@ -426,3 +426,66 @@ def test_sessionize_batch_kernel_matches_scalar():
         assert len(all_v) == len(all_s), trial
         for a, b in zip(all_v, all_s):
             assert same(a, b), trial
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark horizon are
+    dropped (one emission per content hash), the emitted hash set equals
+    the batch dedup_exact hash set, and every emitted row is a real
+    input row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from sparkkd import datapipe
+
+    rng = np.random.default_rng(11)
+    n_texts = 60
+    texts = [f"text body {i} " + " ".join(f"w{j}" for j in rng.integers(0, 50, 8))
+             for i in range(n_texts)]
+    # 200 events over 60 distinct texts -> plenty of in-horizon dups
+    pick = rng.integers(0, n_texts, 200)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [texts[i] for i in pick],
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in np.sort(rng.integers(0, 300, 200))],
+        }
+    )
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    # pandas produces ns timestamps, which Spark's parquet reader rejects
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us")),
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    papq.write_table(tbl.slice(0, 100), src / "a.parquet")
+    papq.write_table(tbl.slice(100), src / "b.parquet")
+
+    docs = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = (
+        streaming.stream_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dedup_out").toPandas()
+    batch = datapipe.dedup_exact(docs).toPandas()
+    # one emission per distinct hash, sets equal to the batch op's
+    assert got["content_hash"].is_unique
+    assert set(got["content_hash"]) == set(batch["text_hash"])
+    # each emitted row is a genuine input row (first-arrival semantics)
+    by_id = pdf.set_index("doc_id")
+    for r in got.itertuples():
+        assert by_id.loc[r.doc_id, "text"] == r.text
