@@ -396,7 +396,8 @@ def _salted_images(spark: SparkSession, img: DataFrame, stats: CellStats) -> Dat
     """Attach part_key = key<<SALT_SHIFT | salt; salt = pmod(xxhash64(id), n)."""
     salt_df = F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame({"key": stats.keys, "salt_n": stats.salt_n})
+            pd.DataFrame({"key": stats.keys, "salt_n": stats.salt_n}),
+            schema="key bigint, salt_n bigint",  # explicit: empty corpus
         )
     )
     return (
@@ -410,6 +411,10 @@ def _salted_images(spark: SparkSession, img: DataFrame, stats: CellStats) -> Dat
     )
 
 
+# explicit so an EMPTY corpus yields an empty frame (inference would raise)
+_PART_KEYS_SCHEMA = "key bigint, part_key bigint, salt_n bigint"
+
+
 def _candidate_part_keys(stats: CellStats) -> pd.DataFrame:
     """(key, part_key, salt_n) exploded over salts — broadcast-joined to
     candidates so a probed cell probes ALL of its salted sub-trees; salt_n
@@ -417,7 +422,7 @@ def _candidate_part_keys(stats: CellStats) -> pd.DataFrame:
     corpus-sized window exchange."""
     reps = stats.salt_n
     key = np.repeat(stats.keys, reps)
-    off = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    off = np.concatenate([[0], np.cumsum(reps)])[: len(reps)]
     salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
     return pd.DataFrame(
         {
@@ -705,7 +710,9 @@ def knn_join(
         level = cells.level_for_count(n)
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
-    part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
+    part_keys = F.broadcast(spark.createDataFrame(
+        _candidate_part_keys(stats), schema=_PART_KEYS_SCHEMA
+    ))
     return _knn_join_on_index(
         spark, img_salted, stats, part_keys, queries, k, max_radius=max_radius
     )
@@ -909,7 +916,9 @@ class GeoIndex:
         )
         self.img_salted.count()  # materialize
         self.part_keys = F.broadcast(
-            spark.createDataFrame(_candidate_part_keys(self.stats))
+            spark.createDataFrame(
+                _candidate_part_keys(self.stats), schema=_PART_KEYS_SCHEMA
+            )
         )
         # per-index intermediate-cache registry: a new join on THIS index
         # releases THIS index's previous intermediates (consume or
@@ -1042,7 +1051,9 @@ def radius_join(
         level = cells.level_for_count(n)
     stats = collect_cell_stats(img, level, max_cell_rows)
     img_salted = _salted_images(spark, img, stats)
-    part_keys = F.broadcast(spark.createDataFrame(_candidate_part_keys(stats)))
+    part_keys = F.broadcast(spark.createDataFrame(
+        _candidate_part_keys(stats), schema=_PART_KEYS_SCHEMA
+    ))
     return _radius_join_on_index(spark, img_salted, stats, part_keys, queries, r)
 
 

@@ -492,7 +492,8 @@ def _salted(df: DataFrame, spark: SparkSession, layout: PoseLayout,
                     "pid": layout.leaf_pid,
                     "salt_n": layout.p_salt_n[layout.leaf_pid],
                 }
-            )
+            ),
+            schema="key bigint, pid bigint, salt_n bigint",  # empty-corpus safe
         )
     )
     return (
@@ -512,11 +513,12 @@ def _leaf_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
     reps = layout.p_salt_n[layout.leaf_pid]
     key = np.repeat(layout.leaf_keys, reps)
     pid = np.repeat(layout.leaf_pid, reps)
-    off = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    off = np.concatenate([[0], np.cumsum(reps)])[: len(reps)]
     salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
     return F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame({"key": key, "part_key": (pid << SALT_BITS) + salt})
+            pd.DataFrame({"key": key, "part_key": (pid << SALT_BITS) + salt}),
+            schema="key bigint, part_key bigint",  # empty-corpus safe
         )
     )
 
@@ -525,13 +527,31 @@ def _pid_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
     """(pid, part_key) for phase-2 candidate emission."""
     reps = layout.p_salt_n
     pid = np.repeat(np.arange(layout.n_partitions, dtype=np.int64), reps)
-    off = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    off = np.concatenate([[0], np.cumsum(reps)])[: len(reps)]
     salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
     return F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame({"pid": pid, "part_key": (pid << SALT_BITS) + salt})
+            pd.DataFrame({"pid": pid, "part_key": (pid << SALT_BITS) + salt}),
+            schema="pid bigint, part_key bigint",  # empty-corpus safe
         )
     )
+
+
+def _trans_bounds(poses: DataFrame) -> list[tuple[float, float]]:
+    """Per-axis (min, max) of the translation columns.  An EMPTY corpus
+    yields NULL aggregates; substitute a unit box — the layout built over
+    it is empty, so every join over it is correctly empty."""
+    b = poses.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
+        *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
+    ).first()
+    out = []
+    for c in TCOLS:
+        lo, hi = b[f"lo_{c}"], b[f"hi_{c}"]
+        if lo is None:
+            lo, hi = 0.0, 1.0
+        out.append((float(lo), float(hi)))
+    return out
 
 
 def _leaf_pid_df(spark: SparkSession, layout: PoseLayout) -> pd.DataFrame:
@@ -1108,7 +1128,11 @@ def _so3_knn_on_index(
     neg_leaf = leaf_key_sql([f"(- {c})" for c in ccols], _B4, layout)
     leaf_salts = _leaf_salts(spark, layout)
     pid_salts = _pid_salts(spark, layout)
-    leaf_pid = F.broadcast(spark.createDataFrame(_leaf_pid_df(spark, layout)))
+    leaf_pid = F.broadcast(
+        spark.createDataFrame(
+            _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
+        )
+    )
 
     # ---- phase 1: probe each probe-point's HOME partition (all salts) ---
     probes = (
@@ -1677,13 +1701,7 @@ class Se3Index:
             n = n_poses_hint if n_poses_hint is not None else poses.count()
             level = level_for_poses(n, dims=3)
         self.level = level
-        b = poses.agg(
-            *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
-            *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
-        ).first()
-        self.bounds = [
-            (float(b[f"lo_{c}"]), float(b[f"hi_{c}"]) ) for c in TCOLS
-        ]
+        self.bounds = _trans_bounds(poses)
         b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in self.bounds]
         self.b3 = b3
         self.layout = _se3_layout(poses, b3, level, max_cell_rows)
@@ -1774,11 +1792,7 @@ def se3_radius_join(
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
         level = level_for_poses(n, dims=3)
-    b = poses.agg(
-        *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
-        *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
-    ).first()
-    bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
+    bounds = _trans_bounds(poses)
     b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in bounds]
     layout = _se3_layout(poses, b3, level, max_cell_rows)
     leaf_expr = leaf_key_sql(list(TCOLS), b3, layout)
@@ -1973,11 +1987,7 @@ def se3_knn_join(
     if level is None:
         n = n_poses_hint if n_poses_hint is not None else poses.count()
         level = level_for_poses(n, dims=3)
-    b = poses.agg(
-        *[F.min(c).alias(f"lo_{c}") for c in TCOLS],
-        *[F.max(c).alias(f"hi_{c}") for c in TCOLS],
-    ).first()
-    bounds = [(float(b[f"lo_{c}"]), float(b[f"hi_{c}"])) for c in TCOLS]
+    bounds = _trans_bounds(poses)
     b3 = [(lo, max(hi - lo, 1e-9)) for lo, hi in bounds]
     layout = _se3_layout(poses, b3, level, max_cell_rows)
     leaf_expr = leaf_key_sql(list(TCOLS), b3, layout)
@@ -2052,7 +2062,11 @@ def _se3_knn_on_index(
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     leaf_salts = _leaf_salts(spark, layout)
     pid_salts = _pid_salts(spark, layout)
-    leaf_pid = F.broadcast(spark.createDataFrame(_leaf_pid_df(spark, layout)))
+    leaf_pid = F.broadcast(
+        spark.createDataFrame(
+            _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
+        )
+    )
 
     q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
 

@@ -203,3 +203,25 @@ def test_probe_filter_plan_shape(spark):
     # both select the same rows
     assert small.count() == 50 and big.count() == 100
     assert engine._probe_filter(spark, df, []).count() == 0
+
+
+def test_empty_corpus_and_empty_queries(spark):
+    """A zero-row corpus or a zero-row query frame must produce an EMPTY
+    result, not a schema-inference crash (the createDataFrame sites ship
+    explicit schemas; salt offset math handles len 0)."""
+    rng = np.random.default_rng(3)
+    img_pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{j}" for j in range(20)],
+            "x": rng.uniform(-10, 10, 20),
+            "y": rng.uniform(-10, 10, 20),
+        }
+    )
+    q_pdf = pd.DataFrame(
+        {"query_id": ["q0", "q1"], "qlon": [0.0, 1.0], "qlat": [0.0, 1.0]}
+    )
+    img, q = _spark_inputs(spark, img_pdf, q_pdf)
+    assert engine.knn_join(spark, img.limit(0), q, k=3, n_images_hint=0).count() == 0
+    assert engine.knn_join(spark, img, q.limit(0), k=3, n_images_hint=20).count() == 0
+    assert engine.radius_join(spark, img.limit(0), q, r=2.0, n_images_hint=0).count() == 0
+    assert engine.radius_join(spark, img, q.limit(0), r=2.0, n_images_hint=20).count() == 0

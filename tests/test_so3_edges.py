@@ -272,3 +272,28 @@ def test_se3_rotation_aware_admission(spark):
         got = resk[resk["query_id"] == f"q{i:06d}"]
         assert list(got["pose_id"]) == list(pids[srt]), f"query {i}"
         assert np.allclose(got["dist"].to_numpy(), D[i][srt], atol=1e-9)
+
+
+def test_empty_corpus_all_pose_paths(spark):
+    """Zero-row pose corpus: all four pose join paths return empty frames
+    (empty-safe bounds + explicit broadcast-map schemas)."""
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(8, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = rng.uniform(-1, 1, (8, 3))
+    empty = _pose_df(spark, q, t).limit(0)
+    q5 = _query_df(spark, q[:5], t[:5])
+    assert so3engine.so3_knn_join(spark, empty, q5, k=2).count() == 0
+    assert so3engine.so3_radius_join(spark, empty, q5, 0.1).count() == 0
+    assert (
+        so3engine.se3_knn_join(
+            spark, empty, q5, k=2, rot_weight=1.0, trans_weight=1.0
+        ).count()
+        == 0
+    )
+    assert (
+        so3engine.se3_radius_join(
+            spark, empty, q5, 0.5, rot_weight=1.0, trans_weight=1.0
+        ).count()
+        == 0
+    )
