@@ -392,6 +392,15 @@ def collect_cell_stats(
     )
 
 
+# queries with non-finite coordinates have no defined neighbors: drop them
+# up front (one codegen filter) so they can't land in a clamped cell and
+# emit inf/NaN distance rows
+_FINITE_QUERY = (
+    "NOT isnan(x) AND NOT isnan(y)"
+    " AND abs(x) != double('infinity') AND abs(y) != double('infinity')"
+)
+
+
 def _salted_images(spark: SparkSession, img: DataFrame, stats: CellStats) -> DataFrame:
     """Attach part_key = key<<SALT_SHIFT | salt; salt = pmod(xxhash64(id), n)."""
     salt_df = F.broadcast(
@@ -703,6 +712,12 @@ def knn_join(
     Returns (query_id, image_id, dist, rank) with rank in 1..k.
     Generalizes reference Q1/Q2 (``src/_kdtree_median.hpp:332-359``) from a
     single query to a query table.
+
+    Non-finite query coordinates (NaN/inf) yield NO rows for that query —
+    such a query has no defined neighbors, so it is dropped by an explicit
+    finite-coordinate filter, never crashing or damaging other queries'
+    results; pre-filter with functions.l2_is_valid to reject them loudly
+    instead.
     """
     img = with_coords(images).select("image_id", "x", "y")
     if level is None:
@@ -733,7 +748,7 @@ def _knn_join_on_index(
     _release_registry(cache_registry)  # PREVIOUS call in this scope only
     q = queries.select(
         "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
-    )
+    ).filter(_FINITE_QUERY)
     schema = "query_id string, image_id string, dist double"
     key_expr = stats.key_sql("x", "y")
 
@@ -972,7 +987,7 @@ class GeoIndex:
         .write_query_metrics() for the logged metrics table."""
         q = queries.select(
             "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
-        ).withColumn("key", F.expr(self.stats.key_sql("x", "y")))
+        ).filter(_FINITE_QUERY).withColumn("key", F.expr(self.stats.key_sql("x", "y")))
         cand = q.join(self.part_keys, "key").select("query_id", "x", "y", "part_key")
 
         def profile_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -1065,7 +1080,9 @@ def _radius_join_on_index(
     queries: DataFrame,
     r: float,
 ) -> DataFrame:
-    q = queries.select("query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y"))
+    q = queries.select(
+        "query_id", F.col("qlon").alias("x"), F.col("qlat").alias("y")
+    ).filter(_FINITE_QUERY)
     g_mnx, g_mny, g_mxx, g_mxy, g_order, g_start = _coarse_groups(stats)
     bc = spark.sparkContext.broadcast(
         (

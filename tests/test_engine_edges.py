@@ -225,3 +225,36 @@ def test_empty_corpus_and_empty_queries(spark):
     assert engine.knn_join(spark, img, q.limit(0), k=3, n_images_hint=20).count() == 0
     assert engine.radius_join(spark, img.limit(0), q, r=2.0, n_images_hint=0).count() == 0
     assert engine.radius_join(spark, img, q.limit(0), r=2.0, n_images_hint=20).count() == 0
+
+
+def test_nan_query_drops_without_damage(spark):
+    """A non-finite query coordinate (NaN or inf) yields no rows for THAT
+    query (explicit finite filter) and leaves every other query's result
+    untouched."""
+    rng = np.random.default_rng(9)
+    img_pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{j}" for j in range(50)],
+            "x": rng.uniform(-10, 10, 50),
+            "y": rng.uniform(-10, 10, 50),
+        }
+    )
+    q_ok = pd.DataFrame({"query_id": ["ok"], "qlon": [0.0], "qlat": [0.0]})
+    q_mix = pd.DataFrame(
+        {
+            "query_id": ["ok", "nan", "inf"],
+            "qlon": [0.0, float("nan"), float("inf")],
+            "qlat": [0.0, 1.0, 1.0],
+        }
+    )
+    img, _ = _spark_inputs(spark, img_pdf, q_ok)
+    got_mix = (
+        engine.knn_join(spark, img, spark.createDataFrame(q_mix), k=3, n_images_hint=50)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got_ok = (
+        engine.knn_join(spark, img, spark.createDataFrame(q_ok), k=3, n_images_hint=50)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert set(got_mix["query_id"]) == {"ok"}
+    assert got_mix.equals(got_ok)
