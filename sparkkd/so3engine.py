@@ -482,6 +482,15 @@ def leaf_key_sql(
     return f"(CASE {' '.join(whens)} ELSE {base_key} END)"
 
 
+def _finite_pred(cols) -> str:
+    """SQL predicate: every column finite.  Queries with a NaN/inf
+    coordinate have no defined neighbors — drop them up front (one codegen
+    filter) so an inf can't land in a clamped grid cell and emit rows."""
+    return " AND ".join(
+        f"(NOT isnan({c}) AND abs({c}) != double('infinity'))" for c in cols
+    )
+
+
 def _salted(df: DataFrame, spark: SparkSession, layout: PoseLayout,
             leaf_expr: str, id_col: str) -> DataFrame:
     leaf_map = F.broadcast(
@@ -1120,10 +1129,14 @@ def _so3_knn_on_index(
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sign = canon_sign_sql()
     ccols = list(CCOLS)
-    qc = queries.select(
-        "query_id",
-        *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
-    ).repartition(shuffle_n)
+    qc = (
+        queries.filter(_finite_pred(QCOLS))
+        .select(
+            "query_id",
+            *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
+        )
+        .repartition(shuffle_n)
+    )
     pos_leaf = leaf_key_sql(ccols, _B4, layout)
     neg_leaf = leaf_key_sql([f"(- {c})" for c in ccols], _B4, layout)
     leaf_salts = _leaf_salts(spark, layout)
@@ -1578,10 +1591,14 @@ def _so3_radius_on_index(
     r = float(r)
     # padded chord: superset admission; the exact libm angle decides below
     chord = float(np.sqrt(max(2.0 - 2.0 * np.cos(r), 0.0)) * (1.0 + 1e-12) + 1e-15)
-    qc = queries.select(
-        "query_id",
-        *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
-    ).repartition(shuffle_n)
+    qc = (
+        queries.filter(_finite_pred(QCOLS))
+        .select(
+            "query_id",
+            *[F.expr(f"{sign} * {c}").alias(f"c{c[1]}") for c in QCOLS],
+        )
+        .repartition(shuffle_n)
+    )
     pid_salts = _pid_salts(spark, layout)
 
     bc = spark.sparkContext.broadcast(
@@ -1823,7 +1840,11 @@ def _se3_radius_on_index(
     r = float(r)
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pid_salts = _pid_salts(spark, layout)
-    q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
+    q = (
+        queries.filter(_finite_pred(list(QCOLS) + list(TCOLS)))
+        .select("query_id", *QCOLS, *TCOLS)
+        .repartition(shuffle_n)
+    )
 
     # compound-space admission radius (padded superset; exact libm
     # compound distance decides below)
@@ -2068,7 +2089,11 @@ def _se3_knn_on_index(
         )
     )
 
-    q = queries.select("query_id", *QCOLS, *TCOLS).repartition(shuffle_n)
+    q = (
+        queries.filter(_finite_pred(list(QCOLS) + list(TCOLS)))
+        .select("query_id", *QCOLS, *TCOLS)
+        .repartition(shuffle_n)
+    )
 
     # ---- phase 1: home-partition probe (all salts) — TRUE compound bound
     q_home = q.withColumn("key", F.expr(leaf_expr))

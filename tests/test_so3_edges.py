@@ -297,3 +297,36 @@ def test_empty_corpus_all_pose_paths(spark):
         ).count()
         == 0
     )
+
+
+def test_nonfinite_pose_queries_drop_cleanly(spark):
+    """NaN or inf coordinates in a pose query drop THAT query from all
+    four join paths (explicit finite filter) without touching others."""
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(60, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = rng.uniform(-1, 1, (60, 3))
+    poses = _pose_df(spark, q, t)
+    qq = pd.DataFrame(
+        {
+            "query_id": ["ok", "nan", "inf"],
+            "qw": [q[0, 0], float("nan"), float("inf")],
+            "qx": [q[0, 1], 0.1, 0.1],
+            "qy": [q[0, 2], 0.1, 0.1],
+            "qz": [q[0, 3], 0.1, 0.1],
+            "tx": [0.0] * 3, "ty": [0.0] * 3, "tz": [0.0] * 3,
+        }
+    )
+    queries = spark.createDataFrame(qq)
+    r = so3engine.so3_knn_join(spark, poses, queries, k=2).toPandas()
+    assert set(r["query_id"]) == {"ok"} and len(r) == 2
+    r = so3engine.se3_knn_join(
+        spark, poses, queries, k=2, rot_weight=1.0, trans_weight=1.0
+    ).toPandas()
+    assert set(r["query_id"]) == {"ok"} and len(r) == 2
+    r = so3engine.so3_radius_join(spark, poses, queries, 3.0).toPandas()
+    assert set(r["query_id"]) == {"ok"} and len(r) == 60
+    r = so3engine.se3_radius_join(
+        spark, poses, queries, 5.0, rot_weight=1.0, trans_weight=1.0
+    ).toPandas()
+    assert set(r["query_id"]) == {"ok"} and len(r) == 60
