@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Randomized differential fuzz: every distributed join vs a brute-force
+NumPy oracle over randomly-shaped inputs.
+
+The pytest batteries pin the known edge cases; this harness hunts the
+UNKNOWN ones by sampling the configuration space — corpus size and
+distribution (uniform / tight clusters / point masses / boundary values /
+duplicated coordinates), k, radius, grid level, max_cell_rows (forcing
+refinement + salting on tiny corpora), compound weights (incl. degenerate
+rot-only / trans-only) — and asserting exact agreement (row set and
+float-exact distances; rank compared via distance multisets so ties in
+id order never false-positive).
+
+Usage: python jobs/fuzz_differential.py [N_TRIALS] [SEED]
+Prints one line per trial and a final summary; exits nonzero on any
+mismatch with a full repro dump (seed + config).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+
+from sparkkd import cells, engine, so3engine
+
+N_TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+
+
+def _coords(rng, n, flavor):
+    if flavor == "uniform":
+        return rng.uniform(-60, 60, (n, 2))
+    if flavor == "clusters":
+        k = max(1, int(rng.integers(1, 8)))
+        cents = rng.uniform(-50, 50, (k, 2))
+        return cents[rng.integers(0, k, n)] + rng.normal(0, 0.05, (n, 2))
+    if flavor == "point_mass":
+        p = rng.uniform(-50, 50, 2)
+        out = np.tile(p, (n, 1))
+        j = max(1, n // 4)
+        out[:j] = rng.uniform(-60, 60, (j, 2))
+        return out
+    if flavor == "boundary":
+        c = rng.uniform(-60, 60, (n, 2))
+        c[:, 0] = np.round(c[:, 0] * 4) / 4  # land on cell edges
+        c[:, 1] = np.round(c[:, 1] * 4) / 4
+        return c
+    raise AssertionError(flavor)
+
+
+def _quantized(xy):
+    ph = cells.coords_to_phash(xy[:, 1], xy[:, 0])
+    lat, lon = cells.phash_to_coords(ph)
+    return ph, np.column_stack([lon, lat])
+
+
+def fuzz_geo(spark, rng, trial):
+    n = int(rng.integers(2, 1500))
+    nq = int(rng.integers(1, 200))
+    flavor = str(rng.choice(["uniform", "clusters", "point_mass", "boundary"]))
+    k = int(rng.integers(1, 17))
+    level = int(rng.integers(2, 9))
+    mcr = int(rng.choice([4, 16, 64, 8192]))
+    use_radius = bool(rng.integers(0, 2))
+    ph, xy = _quantized(_coords(rng, n, flavor))
+    qxy = _coords(rng, nq, flavor)
+    img = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"i{j:06d}" for j in range(n)], "phash": ph})
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [f"q{j:05d}" for j in range(nq)],
+                      "qlon": qxy[:, 0], "qlat": qxy[:, 1]})
+    )
+    d = np.sqrt(((qxy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    cfg = dict(op="geo", n=n, nq=nq, flavor=flavor, k=k, level=level,
+               mcr=mcr, use_radius=use_radius)
+    if use_radius:
+        r = float(rng.uniform(0.1, 40))
+        cfg["r"] = r
+        got = engine.radius_join(
+            spark, img, q, r=r, level=level, max_cell_rows=mcr,
+            n_images_hint=n,
+        ).toPandas()
+        qi = got.query_id.str.slice(1).astype(int).to_numpy()
+        ii = got.image_id.str.slice(1).astype(int).to_numpy()
+        want_mask = d <= r
+        assert len(got) == int(want_mask.sum()), (cfg, len(got), int(want_mask.sum()))
+        assert want_mask[qi, ii].all(), cfg
+        assert np.array_equal(got.dist.to_numpy(), d[qi, ii]), cfg
+    else:
+        mr = float(rng.uniform(0.5, 50)) if rng.integers(0, 2) else float("inf")
+        cfg["max_radius"] = mr
+        got = engine.knn_join(
+            spark, img, q, k=k, level=level, max_cell_rows=mcr,
+            n_images_hint=n, max_radius=mr,
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        # oracle: per query, k smallest (dist, id), bounded by mr
+        rows = []
+        for qi_ in range(nq):
+            idx = np.lexsort((np.arange(n), d[qi_]))[:k]
+            for rk, j in enumerate(idx, 1):
+                if d[qi_, j] <= mr:
+                    rows.append((f"q{qi_:05d}", f"i{j:06d}", d[qi_, j], rk))
+        want = pd.DataFrame(rows, columns=["query_id", "image_id", "dist", "rank"])
+        want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert len(got) == len(want), (cfg, len(got), len(want))
+        assert (got.query_id.to_numpy() == want.query_id.to_numpy()).all(), cfg
+        # ties at equal distance may order differently only if ids differ
+        # at the same distance — the engine ties by id, so exact match:
+        assert (got.image_id.to_numpy() == want.image_id.to_numpy()).all(), cfg
+        assert np.array_equal(got.dist.to_numpy(), want.dist.to_numpy()), cfg
+    return cfg
+
+
+def _unit_quats(rng, n, flavor):
+    if flavor == "uniform":
+        x = rng.normal(size=(n, 4))
+    elif flavor == "clusters":
+        k = max(1, int(rng.integers(1, 6)))
+        cents = rng.normal(size=(k, 4))
+        x = cents[rng.integers(0, k, n)] + 0.02 * rng.normal(size=(n, 4))
+    else:  # antipodal pairs: stress the dual-probe dedupe
+        x = rng.normal(size=(n, 4))
+        half = n // 2
+        x[:half] = -x[half:2 * half]
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def _ang_matrix(QQ, Q):
+    """arccos(|dot|) with the dot accumulated LEFT-TO-RIGHT per coefficient
+    — matching the engine's (and DuckDB's) scalar evaluation bit-for-bit.
+    A BLAS matmul (``QQ @ Q.T``) may use FMA/blocked accumulation and land
+    one ulp away, which arccos amplifies near |dot| ~= 1."""
+    dot = QQ[:, 0:1] * Q[None, :, 0]
+    for j in range(1, 4):
+        dot = dot + QQ[:, j:j + 1] * Q[None, :, j]
+    return np.arccos(np.minimum(1.0, np.abs(dot)))
+
+
+def fuzz_pose(spark, rng, trial):
+    n = int(rng.integers(2, 800))
+    nq = int(rng.integers(1, 120))
+    flavor = str(rng.choice(["uniform", "clusters", "antipodal"]))
+    k = int(rng.integers(1, 9))
+    mcr = int(rng.choice([8, 64, 16384]))
+    space = str(rng.choice(["so3", "se3"]))
+    Q = _unit_quats(rng, n, flavor)
+    T = rng.uniform(-3, 3, (n, 3))
+    QQ = _unit_quats(rng, nq, flavor)
+    QT = rng.uniform(-3, 3, (nq, 3))
+    poses = spark.createDataFrame(pd.DataFrame({
+        "pose_id": [f"p{j:06d}" for j in range(n)],
+        "qw": Q[:, 0], "qx": Q[:, 1], "qy": Q[:, 2], "qz": Q[:, 3],
+        "tx": T[:, 0], "ty": T[:, 1], "tz": T[:, 2]}))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": [f"q{j:05d}" for j in range(nq)],
+        "qw": QQ[:, 0], "qx": QQ[:, 1], "qy": QQ[:, 2], "qz": QQ[:, 3],
+        "tx": QT[:, 0], "ty": QT[:, 1], "tz": QT[:, 2]}))
+    ang = _ang_matrix(QQ, Q)
+    cfg = dict(op=space, n=n, nq=nq, flavor=flavor, k=k, mcr=mcr)
+    if space == "so3":
+        d = ang
+        use_radius = bool(rng.integers(0, 2))
+        if use_radius:
+            r = float(rng.uniform(0.05, 1.5))
+            cfg["r"] = r
+            got = so3engine.so3_radius_join(
+                spark, poses, queries, r, max_cell_rows=mcr, n_poses_hint=n
+            ).toPandas()
+            val = got.ang.to_numpy()
+        else:
+            got = so3engine.so3_knn_join(
+                spark, poses, queries, k=k, max_cell_rows=mcr, n_poses_hint=n
+            ).toPandas()
+            val = got.ang.to_numpy()
+    else:
+        rw = float(rng.choice([0.0, 0.3, 1.0, 5.0]))
+        tw = float(rng.choice([0.1, 1.0, 2.0]))
+        cfg["rw"], cfg["tw"] = rw, tw
+        d = rw * ang + tw * np.sqrt(
+            ((QT[:, None, :] - T[None, :, :]) ** 2).sum(-1)
+        )
+        use_radius = bool(rng.integers(0, 2))
+        if use_radius:
+            r = float(np.quantile(d, rng.uniform(0.001, 0.2)))
+            cfg["r"] = r
+            got = so3engine.se3_radius_join(
+                spark, poses, queries, r, rot_weight=rw, trans_weight=tw,
+                max_cell_rows=mcr, n_poses_hint=n,
+            ).toPandas()
+            val = got.dist.to_numpy()
+        else:
+            got = so3engine.se3_knn_join(
+                spark, poses, queries, k=k, rot_weight=rw, trans_weight=tw,
+                max_cell_rows=mcr, n_poses_hint=n,
+            ).toPandas()
+            val = got.dist.to_numpy()
+    cfg["use_radius"] = use_radius
+    qi = got.query_id.str.slice(1).astype(int).to_numpy()
+    ii = got.pose_id.str.slice(1).astype(int).to_numpy()
+    # the ENGINE's distances are bit-identical to scalar left-to-right
+    # evaluation (that's what the DuckDB oracle rows pin); THIS oracle's
+    # matrix arithmetic can differ by ~1 ulp (amplified ~1e-15 by arccos
+    # near |dot|=1), so values compare under a tiny atol and selection
+    # under an eps band — still fails loudly on any wrong / missing /
+    # extra pair or a rank inflated past the kth distance
+    eps = 1e-9
+    assert np.allclose(val, d[qi, ii], rtol=0.0, atol=1e-10), cfg
+    if use_radius:
+        r = cfg["r"]
+        assert (d[qi, ii] <= r + eps).all(), cfg
+        must = d <= r - eps
+        got_set = set(zip(qi.tolist(), ii.tolist()))
+        missing = [
+            (int(a), int(b))
+            for a, b in zip(*np.nonzero(must))
+            if (int(a), int(b)) not in got_set
+        ]
+        assert not missing, (cfg, missing[:5])
+        assert len(got) <= int((d <= r + eps).sum()), cfg
+    else:
+        kk = min(k, n)
+        assert len(got) == nq * kk, (cfg, len(got), nq * kk)
+        # exactly kk distinct corpus ids per query
+        per_q = pd.Series(ii).groupby(pd.Series(qi)).nunique()
+        assert len(per_q) == nq and (per_q == kk).all(), cfg
+        # every returned pair is within eps of that query's kth distance
+        kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+        assert (d[qi, ii] <= kth[qi] + eps).all(), cfg
+        # multiset of distances per query matches the kk smallest
+        order = np.lexsort((ii, d[qi, ii], qi))
+        got_vals = d[qi, ii][order].reshape(nq, kk)
+        want_vals = np.sort(np.partition(d, kk - 1, axis=1)[:, :kk], axis=1)
+        assert np.allclose(got_vals, want_vals, rtol=0.0, atol=1e-10), cfg
+    return cfg
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(SEED)
+    for t in range(N_TRIALS):
+        cfg = fuzz_geo(spark, rng, t) if t % 2 == 0 else fuzz_pose(spark, rng, t)
+        print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
+    print(f"ALL {N_TRIALS} TRIALS PASSED (seed={SEED})")
+
+
+if __name__ == "__main__":
+    main()
