@@ -244,6 +244,104 @@ def fuzz_pose(spark, rng, trial):
     return cfg
 
 
+def fuzz_embed(spark, rng, trial):
+    """embedding_near_dup's recall-1.0 claim under random dims / cluster
+    structure / thresholds.  Pairs with similarity inside a +-1e-5 band of
+    the threshold are unchecked (the oracle's BLAS gram matrix and the
+    engine's fold rescoring can each land an ulp apart around the 6dp
+    rounding rule); a REAL recall bug loses geometrically-separated pairs,
+    far outside that band."""
+    from sparkkd import datapipe
+
+    n = int(rng.integers(30, 2000))
+    ddim = int(rng.choice([4, 16, 64, 96]))
+    n_cl = max(1, int(rng.integers(1, max(2, n // 20))))
+    thr = float(rng.choice([0.3, 0.6, 0.85, 0.95]))
+    cents = rng.normal(size=(n_cl, ddim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    X = cents[rng.integers(0, n_cl, n)] + float(rng.choice([0.01, 0.1])) * rng.normal(size=(n, ddim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in X],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    got = datapipe.embedding_near_dup(emb, threshold=thr).toPandas()
+    got_set = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
+    Xf = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    Xf /= np.linalg.norm(Xf, axis=1, keepdims=True)
+    S = Xf @ Xf.T
+    iu = np.triu_indices(n, 1)
+    sims = S[iu]
+    band = 1e-5
+    must = sims >= thr + band
+    may = sims >= thr - band
+    cfg = dict(op="embed", n=n, d=ddim, n_cl=n_cl, thr=thr,
+               must=int(must.sum()), got=len(got_set))
+    missing = [
+        (int(a), int(b))
+        for a, b in zip(iu[0][must], iu[1][must])
+        if (int(a), int(b)) not in got_set
+    ]
+    assert not missing, (cfg, missing[:5])
+    allowed = set(zip(iu[0][may].tolist(), iu[1][may].tolist()))
+    extra = [p for p in got_set if p not in allowed]
+    assert not extra, (cfg, extra[:5])
+    return cfg
+
+
+def fuzz_cc(spark, rng, trial):
+    """connected_components vs a union-find oracle on random graph shapes:
+    sparse ER edges + planted long paths + self-loops + duplicate edges."""
+    from sparkkd import datapipe
+
+    n = int(rng.integers(5, 4000))
+    m = int(rng.integers(1, max(2, 2 * n)))
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    path_len = int(rng.integers(0, min(600, n)))
+    if path_len >= 2:
+        p = rng.choice(n, path_len, replace=False)
+        a = np.concatenate([a, p[:-1]])
+        b = np.concatenate([b, p[1:]])
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)})
+    )
+    res = datapipe.connected_components(pairs, max_iter=80)
+    got = res.toPandas()
+    # free the result's final checkpoint NOW — 20+ trials of GC-deferred
+    # checkpoint blocks OOM the default 1g driver (the very bug this
+    # family's first campaign caught)
+    datapipe._free_local_checkpoint(res)
+    # union-find oracle
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    touched = sorted(set(a.tolist()) | set(b.tolist()))
+    # component label = min id in component (over TOUCHED ids only)
+    root_min: dict[int, int] = {}
+    for x in touched:
+        r = find(x)
+        root_min[r] = min(root_min.get(r, x), x)
+    want = {x: root_min[find(x)] for x in touched}
+    cfg = dict(op="cc", n=n, edges=int(len(a)),
+               comps=len(set(want.values())))
+    gm = dict(zip(got["id"].astype(int), got["component"].astype(int)))
+    assert gm == want, (cfg, {k: (gm.get(k), want[k]) for k in list(want)[:5]})
+    return cfg
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -253,8 +351,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     rng = np.random.default_rng(SEED)
+    kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc]
     for t in range(N_TRIALS):
-        cfg = fuzz_geo(spark, rng, t) if t % 2 == 0 else fuzz_pose(spark, rng, t)
+        cfg = kinds[t % len(kinds)](spark, rng, t)
         print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
     print(f"ALL {N_TRIALS} TRIALS PASSED (seed={SEED})")
 

@@ -1713,6 +1713,29 @@ def ann_ivf_topk(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a SUPERSEDED localCheckpoint's storage blocks now instead of
+    waiting for JVM/py4j GC.  An iterative algorithm that checkpoints each
+    round otherwise pins rounds x N rows of MEMORY_AND_DISK blocks until a
+    GC happens to collect the py4j handles (measured: a 1 GiB driver OOMs
+    after ~6 back-to-back connected_components calls; at cluster scale the
+    same garbage crowds the executors' storage pools).  The DF must never
+    be read again — its plan is a LogicalRDD whose blocks this drops and
+    LocalCheckpointRDD cannot recompute."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            plan = stack.pop()
+            if plan.getClass().getName().endswith("LogicalRDD"):
+                plan.rdd().unpersist(False)
+                continue
+            children = plan.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+    except Exception:
+        pass  # best-effort: GC remains the fallback release path
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1787,6 +1810,11 @@ def connected_components(
             .filter(F.col("n.label") < F.col("o.label"))
             .count()
         )
+        # `new` is eagerly checkpointed (no longer depends on the old
+        # labels) and `changed` was the old frame's last read — drop its
+        # blocks immediately so live checkpoint storage stays O(N), not
+        # O(rounds * N)
+        _free_local_checkpoint(labels)
         labels = new
         if stats is not None:
             stats["rounds"] = stats.get("rounds", 0) + 1
@@ -1794,10 +1822,15 @@ def connected_components(
         if changed == 0:
             break
     else:
+        _free_local_checkpoint(labels)
+        _free_local_checkpoint(edges)
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds"
             " — raise max_iter (rounds grow ~log2(component diameter))"
         )
+    # the edge table is dead too once the loop exits; only the final labels
+    # checkpoint (the caller's result) stays pinned
+    _free_local_checkpoint(edges)
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
