@@ -18,6 +18,7 @@ mismatch with a full repro dump (seed + config).
 
 from __future__ import annotations
 
+import gc
 import json
 import sys
 from pathlib import Path
@@ -268,7 +269,17 @@ def fuzz_embed(spark, rng, trial):
         }
     )
     emb = spark.createDataFrame(pdf)
-    got = datapipe.embedding_near_dup(emb, threshold=thr).toPandas()
+    # half the trials force the DISTRIBUTED pair plan (the >C_MAX path a
+    # small corpus never reaches naturally) by shrinking the driver budget
+    # to fewer buckets than the corpus occupies
+    dist_plan = bool(rng.integers(0, 2))
+    saved = datapipe._NEAR_DUP_DRIVER_C_MAX
+    if dist_plan:
+        datapipe._NEAR_DUP_DRIVER_C_MAX = 1
+    try:
+        got = datapipe.embedding_near_dup(emb, threshold=thr).toPandas()
+    finally:
+        datapipe._NEAR_DUP_DRIVER_C_MAX = saved
     got_set = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
     Xf = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     Xf /= np.linalg.norm(Xf, axis=1, keepdims=True)
@@ -279,7 +290,7 @@ def fuzz_embed(spark, rng, trial):
     must = sims >= thr + band
     may = sims >= thr - band
     cfg = dict(op="embed", n=n, d=ddim, n_cl=n_cl, thr=thr,
-               must=int(must.sum()), got=len(got_set))
+               dist_plan=dist_plan, must=int(must.sum()), got=len(got_set))
     missing = [
         (int(a), int(b))
         for a, b in zip(iu[0][must], iu[1][must])
@@ -342,6 +353,183 @@ def fuzz_cc(spark, rng, trial):
     return cfg
 
 
+def _rand_events(rng, n, n_users, gap_us):
+    """Random event table biased toward the nasty shapes: duplicate
+    timestamps, gaps landing EXACTLY on the boundary (strict-> semantics),
+    single-event users, bursts."""
+    base = np.int64(1_600_000_000_000_000)
+    steps = rng.choice(
+        np.array([0, 1, 7, max(gap_us - 1, 0), gap_us, gap_us + 1], np.int64),
+        size=n,
+    )
+    ts_us = base + np.cumsum(steps)
+    rng.shuffle(ts_us)  # per-user deltas become arbitrary combinations
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "scroll"], size=n),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+
+
+def fuzz_session(spark, rng, trial):
+    """sessionize vs a pandas gaps-and-islands oracle: session boundaries
+    (strictly-greater gap), tie timestamps (event_id tiebreak), counts and
+    2dp-rounded value sums per session."""
+    from sparkkd import streaming
+
+    n = int(rng.integers(1, 2500))
+    n_users = int(rng.integers(1, 50))
+    gap_us = int(rng.choice([1, 1_000, 300_000_000, 10**12]))
+    pdf = _rand_events(rng, n, n_users, gap_us)
+    got = (
+        streaming.sessionize(spark.createDataFrame(pdf), gap_us=gap_us)
+        .toPandas()
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    o = pdf.copy()
+    o["ts_us"] = o["ts"].astype("int64") // 1000
+    o = o.sort_values(["user_id", "ts_us", "event_id"])
+    prev = o.groupby("user_id")["ts_us"].shift()
+    brk = (prev.isna() | ((o["ts_us"] - prev) > gap_us)).astype(int)
+    o["session_no"] = brk.groupby(o["user_id"]).cumsum().astype(int)
+    want = (
+        o.groupby(["user_id", "session_no"], as_index=False)
+        .agg(
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+            n_events=("ts_us", "size"),
+            total_value=("value", "sum"),
+        )
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    cfg = dict(op="session", n=n, users=n_users, gap_us=gap_us,
+               sessions=len(want))
+    assert len(got) == len(want), cfg
+    for c in ["user_id", "session_no", "session_start_us", "session_end_us",
+              "n_events"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), (cfg, c)
+    # engine rounds HALF_UP, pandas sum is unrounded — compare with a
+    # tolerance wider than any representation drift, narrower than a cent
+    assert np.allclose(got["total_value"], np.round(want["total_value"], 2),
+                       atol=0.006), cfg
+    return cfg
+
+
+def fuzz_asof(spark, rng, trial):
+    """asof_join_events vs a per-user scan oracle: for every click, the
+    view with the greatest (ts, event_id) among same-user views with
+    ts <= click ts (ts-equality counts as prior; NULLs when none)."""
+    from sparkkd import streaming
+
+    n = int(rng.integers(1, 2000))
+    n_users = int(rng.integers(1, 40))
+    pdf = _rand_events(rng, n, n_users, gap_us=1000)
+    got = (
+        streaming.asof_join_events(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("event_id")
+    )
+    o = pdf.copy()
+    o["ts_us"] = o["ts"].astype("int64") // 1000
+    want = {}
+    for uid, g in o.groupby("user_id"):
+        views = g[g["event_type"] == "view"].sort_values(["ts_us", "event_id"])
+        for _, row in g[g["event_type"] == "click"].iterrows():
+            prior = views[views["ts_us"] <= row["ts_us"]]
+            if len(prior):
+                ref = prior.iloc[-1]
+                want[int(row["event_id"])] = (
+                    int(ref["event_id"]),
+                    float(ref["value"]),
+                    int(row["ts_us"] - ref["ts_us"]),
+                )
+            else:
+                want[int(row["event_id"])] = (None, None, None)
+    cfg = dict(op="asof", n=n, users=n_users, clicks=len(want))
+    assert set(got.index) == set(want), cfg
+    for eid, (rid, rval, gap) in want.items():
+        r = got.loc[eid]
+        if rid is None:
+            assert pd.isna(r["ref_event_id"]), (cfg, eid)
+        else:
+            assert int(r["ref_event_id"]) == rid, (cfg, eid)
+            assert float(r["ref_value"]) == rval, (cfg, eid)
+            assert int(r["gap_us"]) == gap, (cfg, eid)
+    return cfg
+
+
+def fuzz_snapshot(spark, rng, trial):
+    """Dynamic insert (reference C6): a random write/append/compact
+    sequence must be indistinguishable from a static build — kNN over the
+    final snapshot equals the brute-force oracle over the full corpus."""
+    import shutil
+    import tempfile
+
+    from sparkkd.snapshots import SnapshotStore
+
+    n = int(rng.integers(2, 1200))
+    nq = int(rng.integers(1, 100))
+    k = int(rng.integers(1, 9))
+    flavor = str(rng.choice(["uniform", "clusters", "point_mass"]))
+    ph, xy = _quantized(_coords(rng, n, flavor))
+    pdf = pd.DataFrame(
+        {"image_id": [f"i{j:06d}" for j in range(n)], "phash": ph}
+    )
+    n_batches = int(rng.integers(1, 6))
+    n_cuts = min(n_batches - 1, n - 1)
+    cuts = (
+        np.sort(rng.choice(np.arange(1, n), size=n_cuts, replace=False))
+        if n_cuts > 0
+        else np.array([], dtype=int)
+    )
+    parts = np.split(np.arange(n), cuts)
+    root = tempfile.mkdtemp(prefix="sparkkd-fuzz-snap-")
+    try:
+        store = SnapshotStore(root)
+        store.write(spark.createDataFrame(pdf.iloc[parts[0]]))
+        for p in parts[1:]:
+            store.append(spark.createDataFrame(pdf.iloc[p]))
+        n_compact = 0
+        while store.needs_compaction() and n_compact < 10:
+            store.compact(spark)
+            n_compact += 1
+        snap = store.read(spark)
+        qxy = _coords(rng, nq, flavor)
+        q = spark.createDataFrame(
+            pd.DataFrame({"query_id": [f"q{j:05d}" for j in range(nq)],
+                          "qlon": qxy[:, 0], "qlat": qxy[:, 1]})
+        )
+        got = (
+            engine.knn_join(spark, snap, q, k=k, n_images_hint=n)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        d = np.sqrt(((qxy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+        rows = []
+        for qi_ in range(nq):
+            idx = np.lexsort((np.arange(n), d[qi_]))[:k]
+            for rk, j in enumerate(idx, 1):
+                rows.append((f"q{qi_:05d}", f"i{j:06d}", d[qi_, j], rk))
+        want = (
+            pd.DataFrame(rows, columns=["query_id", "image_id", "dist", "rank"])
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        cfg = dict(op="snap", n=n, nq=nq, k=k, flavor=flavor,
+                   batches=len(parts), compacted=n_compact)
+        assert len(got) == len(want), (cfg, len(got), len(want))
+        assert (got.image_id.to_numpy() == want.image_id.to_numpy()).all(), cfg
+        assert np.array_equal(got.dist.to_numpy(), want.dist.to_numpy()), cfg
+        return cfg
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -351,10 +539,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     rng = np.random.default_rng(SEED)
-    kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc]
+    kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc, fuzz_session,
+             fuzz_asof, fuzz_snapshot]
     for t in range(N_TRIALS):
         cfg = kinds[t % len(kinds)](spark, rng, t)
         print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
+        # py4j pins every JVM object handed to Python until Python GC
+        # detaches the proxy — on a deliberately small (default-1g) driver
+        # heap, hundreds of trials of plan/DataFrame handles otherwise
+        # OOM the JVM even though the engine released its blocks.  Python
+        # GC flushes the detach queue; a periodic JVM GC lets Spark's
+        # ContextCleaner reclaim the freed broadcasts and shuffles.
+        gc.collect()
+        if t % 8 == 7:
+            spark.sparkContext._jvm.System.gc()
     print(f"ALL {N_TRIALS} TRIALS PASSED (seed={SEED})")
 
 
