@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import gc
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -535,6 +536,10 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
+        # the embed/cc families localCheckpoint intermediate frames; on the
+        # 1g default heap a long campaign OOMs the driver JVM even with the
+        # GC discipline below (observed at ~24 mixed-family trials)
+        .config("spark.driver.memory", os.environ.get("FUZZ_DRIVER_MEM", "6g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
