@@ -1736,6 +1736,42 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass  # best-effort: GC remains the fallback release path
 
 
+def _stats_safe_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint that does NOT inherit the pre-checkpoint plan's
+    ESTIMATED statistics.
+
+    Spark 4's ``Dataset.localCheckpoint`` rewrites the optimized plan's
+    stats onto the resulting LogicalRDD (``LogicalRDD.fromDataset`` ->
+    ``rewriteStatsAndConstraints``).  In an iterative algorithm each
+    round's plan joins the previous checkpoint against itself, so the
+    carried-over ``sizeInBytes`` estimate MULTIPLIES round over round —
+    bit-length grows ~2x per round (measured: 629 -> 1383 -> 2889 -> ...)
+    and by round ~25 a single Catalyst stats visit sits in
+    ``BigInteger.multiplyToomCook3`` for 10+ minutes on a 10^8-bit number
+    (observed live: a fuzz CC trial hung the driver for 12+ minutes and
+    earlier OOM'd a 1 GiB heap inside SizeInBytesOnlyStatsPlanVisitor).
+
+    Fix: checkpoint normally (materializes + truncates lineage), then
+    rebuild the frame over the SAME persisted RDD[InternalRow] via
+    ``internalCreateDataFrame``, whose LogicalRDD carries no origin stats
+    — size estimation falls back to ``spark.sql.defaultSizeInBytes``
+    (bounded), and AQE still fixes join strategies from RUNTIME sizes.
+    The persisted blocks are shared, so ``_free_local_checkpoint`` keeps
+    working on the returned frame."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        jlp = jdf.queryExecution().optimizedPlan()
+        if not jlp.getClass().getName().endswith("LogicalRDD"):
+            return ck
+        fresh = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jlp.rdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, df.sparkSession)
+    except Exception:
+        return ck  # e.g. Spark Connect: no py4j internals; stats grow but work
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1763,16 +1799,18 @@ def connected_components(
     # localCheckpoint TRUNCATES lineage — without it each iteration embeds
     # the full upstream plan again and the logical plan grows geometrically
     # (classic iterative-algorithm pitfall; measured: driver OOM on the
-    # plan STRING before any data moved)
-    edges = (
+    # plan STRING before any data moved).  The STATS-SAFE variant is load-
+    # bearing too: plain localCheckpoint carries the estimated sizeInBytes
+    # into each round's LogicalRDD, and the per-round join products grow
+    # its bit-length exponentially until Catalyst stats visits hang the
+    # driver in BigInteger math (see _stats_safe_local_checkpoint).
+    edges = _stats_safe_local_checkpoint(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _stats_safe_local_checkpoint(
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = (
@@ -1793,7 +1831,7 @@ def connected_components(
         # pointer doubling: label <- label(label).  Every label is a node
         # id (mins of ids), so the map join always matches; the coalesce
         # is defensive only.  Halves distance-to-min each round.
-        new = (
+        new = _stats_safe_local_checkpoint(
             new.join(
                 new.select(
                     F.col("id").alias("label"), F.col("label").alias("ll")
@@ -1802,7 +1840,6 @@ def connected_components(
                 "left",
             )
             .select("id", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new.alias("n")
@@ -1819,6 +1856,14 @@ def connected_components(
         if stats is not None:
             stats["rounds"] = stats.get("rounds", 0) + 1
             stats["last_changed"] = int(changed)
+            try:  # regression telemetry: Catalyst size estimate must stay
+                # BOUNDED round over round (the stats-explosion pathology)
+                stats["stats_bits"] = int(
+                    new._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes()
+                ).bit_length()
+            except Exception:
+                pass
         if changed == 0:
             break
     else:

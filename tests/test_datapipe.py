@@ -545,6 +545,32 @@ def test_connected_components_releases_checkpoints(spark):
     assert jsc.getPersistentRDDs().size() <= before
 
 
+def test_connected_components_stats_stay_bounded(spark):
+    """Round-5 fuzz finding: Spark 4's localCheckpoint carries the
+    ESTIMATED sizeInBytes of the pre-checkpoint plan into the LogicalRDD,
+    so each CC round's join products double-to-quadruple the estimate's
+    BIT-LENGTH (measured 629 -> 1383 -> 2889 -> ... on a path graph) until
+    a single Catalyst stats visit hangs the driver for 10+ minutes inside
+    BigInteger.multiplyToomCook3 (~round 25; earlier it OOM'd a 1 GiB
+    heap).  _stats_safe_local_checkpoint rebuilds each round's frame over
+    the SAME persisted RDD with no origin stats, so the estimate must stay
+    a small constant regardless of round count."""
+    n = 6_000  # path diameter 6k -> ~13 doubling rounds
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(0, n - 1), "id_b": range(1, n)})
+    )
+    stats: dict = {}
+    got = (
+        datapipe.connected_components(pairs, max_iter=40, stats=stats)
+        .toPandas()
+    )
+    assert len(got) == n and (got["component"] == 0).all()
+    assert stats["rounds"] >= 8  # genuinely iterated
+    # un-fixed growth reaches tens of thousands of bits by round 8; the
+    # safe checkpoint keeps it at the defaultSizeInBytes constant (63)
+    assert stats["stats_bits"] <= 256, stats
+
+
 def test_connected_components_raises_at_cap(spark):
     """The cap must RAISE, never silently return unconverged labels
     (round-4 ADVICE)."""
