@@ -465,6 +465,118 @@ def fuzz_asof(spark, rng, trial):
     return cfg
 
 
+def _star_ring(rng, cx, cy, rmax):
+    """Random star polygon ring (possibly strongly non-convex): sorted
+    angles, per-vertex radii in [0.2, 1] * rmax."""
+    kv = int(rng.integers(3, 12))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, kv))
+    rad = rng.uniform(0.2, 1.0, kv) * rmax
+    return cx + rad * np.cos(ang), cy + rad * np.sin(ang)
+
+
+def _inside_even_odd(px, py, rings):
+    """Independent even-odd oracle, scalar loop formulation (the engine's
+    ray_cast_inside is a vectorized P x E kernel; this recomputes the
+    crossing count per point per edge the textbook way)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for xs, ys in rings:
+        kv = len(xs)
+        for e in range(kv):
+            x1, y1 = xs[e], ys[e]
+            x2, y2 = xs[(e + 1) % kv], ys[(e + 1) % kv]
+            crosses = (y1 > py) != (y2 > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= crosses & (px < xi)
+    return inside
+
+
+def fuzz_pip(spark, rng, trial):
+    """pip_join vs an independent even-odd ray cast over random star
+    polygons (non-convex, optional holes), BOTH modes: the broadcast and
+    distributed plans must match the oracle and each other."""
+    n = int(rng.integers(10, 1200))
+    npoly = int(rng.integers(1, 7))
+    level = int(rng.integers(2, 9))
+    flavor = str(rng.choice(["uniform", "clusters"]))
+    ph, xy = _quantized(_coords(rng, n, flavor))
+    img = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"i{j:06d}" for j in range(n)], "phash": ph})
+    )
+    rows, geoms = [], {}
+    for p in range(npoly):
+        pid = f"p{p:03d}"
+        cx, cy = rng.uniform(-50, 50, 2)
+        rings = [_star_ring(rng, cx, cy, float(rng.uniform(2, 25)))]
+        if rng.integers(0, 3) == 0:  # hole ~1/3 of polygons
+            rings.append(_star_ring(rng, cx, cy, float(rng.uniform(0.5, 1.5))))
+        geoms[pid] = rings
+        for ri, (xs, ys) in enumerate(rings):
+            for si in range(len(xs)):
+                rows.append((pid, ri, si, float(xs[si]), float(ys[si])))
+    polys = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["poly_id", "ring", "seq", "x", "y"])
+    )
+    cfg = dict(op="pip", n=n, npoly=npoly, level=level, flavor=flavor,
+               rings=sum(len(g) for g in geoms.values()))
+    want = set()
+    for pid, rings in geoms.items():
+        ins = _inside_even_odd(xy[:, 0], xy[:, 1], rings)
+        want |= {(f"i{j:06d}", pid) for j in np.flatnonzero(ins)}
+    got_b = engine.pip_join(spark, img, polys, level=level).toPandas()
+    got_d = engine.pip_join(
+        spark, img, polys, level=level, mode="distributed"
+    ).toPandas()
+    sb = set(zip(got_b.image_id, got_b.poly_id))
+    sd = set(zip(got_d.image_id, got_d.poly_id))
+    assert sb == want, (cfg, len(sb), len(want),
+                        list(sb ^ want)[:5])
+    assert sd == want, (cfg, len(sd), len(want))
+    cfg["pairs"] = len(want)
+    return cfg
+
+
+def fuzz_jaccard(spark, rng, trial):
+    """ngram_jaccard_pairs (AllPairs prefix-filtered exact set-similarity
+    join) vs brute-force Python set Jaccard over every doc pair, with
+    Spark's HALF_UP 6dp rounding replicated exactly."""
+    from sparkkd import datapipe
+
+    nd = int(rng.integers(4, 160))
+    ng = int(rng.integers(2, 5))
+    thr = float(rng.uniform(0.15, 0.95))
+    alpha = str(rng.choice(["ab", "abc", "abcd"]))
+    lens = rng.integers(ng, 28, nd)
+    texts = ["".join(rng.choice(list(alpha), ln)) for ln in lens]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{j:04d}" for j in range(nd)],
+                      "text": texts})
+    )
+    cfg = dict(op="jacc", nd=nd, n=ng, thr=round(thr, 4), alpha=alpha)
+    sets = [
+        {t[i:i + ng] for i in range(max(len(t) - ng + 1, 1))} for t in texts
+    ]
+    want = {}
+    for a in range(nd):
+        for b in range(a + 1, nd):
+            c = len(sets[a] & sets[b])
+            if c == 0:
+                continue
+            j = c / (len(sets[a]) + len(sets[b]) - c)
+            rj = np.floor(j * 1e6 + 0.5) / 1e6  # HALF_UP at 6dp, ties
+            # impossible: union <= 60 cannot put c*1e6/u on an exact .5
+            if rj >= thr:
+                want[(f"d{a:04d}", f"d{b:04d}")] = rj
+    got = datapipe.ngram_jaccard_pairs(docs, threshold=thr, n=ng).toPandas()
+    gm = {(r.doc_a, r.doc_b): r.jacc for r in got.itertuples()}
+    assert set(gm) == set(want), (cfg, len(gm), len(want),
+                                  list(set(gm) ^ set(want))[:5])
+    for key, v in want.items():
+        assert abs(gm[key] - v) < 1e-12, (cfg, key, gm[key], v)
+    cfg["pairs"] = len(want)
+    return cfg
+
+
 def fuzz_snapshot(spark, rng, trial):
     """Dynamic insert (reference C6): a random write/append/compact
     sequence must be indistinguishable from a static build — kNN over the
@@ -545,7 +657,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rng = np.random.default_rng(SEED)
     kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc, fuzz_session,
-             fuzz_asof, fuzz_snapshot]
+             fuzz_asof, fuzz_snapshot, fuzz_pip, fuzz_jaccard]
     for t in range(N_TRIALS):
         cfg = kinds[t % len(kinds)](spark, rng, t)
         print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
