@@ -1772,6 +1772,12 @@ def _stats_safe_local_checkpoint(df: DataFrame) -> DataFrame:
         return ck  # e.g. Spark Connect: no py4j internals; stats grow but work
 
 
+# Public alias: any user-written iterative DataFrame algorithm over this
+# engine (custom label propagation, iterative refinement, fixpoint loops)
+# hits the same Spark 4 pathology — checkpoint THROUGH this.
+stats_safe_local_checkpoint = _stats_safe_local_checkpoint
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
