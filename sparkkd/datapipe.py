@@ -1885,6 +1885,59 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+# ------------------------------------------------- deterministic hash split
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Input frame + a deterministic ``split`` column: md5 bucket of the
+    row id assigned to ``len(weights)`` splits with the given integer
+    percentages (must sum to 100).  The core training-data split contract
+    at 100 TB: the split of a row depends ONLY on its id — never on corpus
+    size, partitioning, row order, or run — so retries, re-shuffles and
+    incremental appends can never move a row across the train/test
+    boundary (the leakage mode a ``rand()``-based split has).  Pure
+    codegen built-ins (same md5-60bit family as MinHash, DuckDB-mirrored),
+    zero shuffles — the column is computable at scan time."""
+    if sum(weights) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    if len(weights) != len(names):
+        raise ValueError("weights and names must pair up")
+    bucket = F.expr(
+        f"pmod({md5_hash60_spark(f'CAST({id_col} AS STRING)')}, 100)"
+    )
+    edge = 0
+    expr = None
+    for w, name in zip(weights, names):
+        edge += w
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)
+
+
+def hash_split_summary(
+    docs: DataFrame,
+    weights: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Per-split verification roll-up over the documents shape:
+    ``(split, n_docs, n_chars, fp)`` where ``fp`` is the bit_xor of each
+    member's 60-bit content hash — a commutative fingerprint, so it is
+    partition- and order-invariant and proves the split is a PARTITION of
+    the corpus (no row lost, duplicated, or moved) without shipping rows.
+    One partial-aggregated shuffle on a 3-value key; scale-free."""
+    assigned = split_assign(docs, weights=weights, names=names)
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.expr(f"bit_xor({md5_hash60_spark('text')})").alias("fp"),
+    )
+
+
 # ------------------------------------------------------------- text stats
 
 

@@ -245,6 +245,73 @@ def windowed_event_rates(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bin_us: int = 21_600_000_000,
+    key: str = "user_id",
+) -> DataFrame:
+    """Distributed interval-overlap (RANGE) join: every pair of a left and
+    a right interval sharing ``key`` whose half-open ``[start_us, end_us)``
+    intervals overlap.  Inputs carry ``(key, id, start_us, end_us)`` with
+    non-negative epochs; rows with ``end_us <= start_us`` (empty intervals)
+    match nothing by definition and are dropped.  Output:
+    ``(key, l_id, r_id, overlap_us)`` — all integers, engine-exact.
+
+    Spark has no range-join operator; the naive form is an equi-join on
+    ``key`` with a theta residual, which degenerates to per-key nested
+    loops when keys are few or hot.  This is the canonical BUCKETED range
+    join instead: each interval explodes to the fixed-width time bins it
+    covers (``sequence`` over integer bin ids — pure JVM built-ins, explode
+    factor ``O(duration/bin_us + 1)``), candidates come from one
+    co-partitioned equi-join on ``(key, bin)``, and each qualifying pair is
+    emitted EXACTLY ONCE by crediting it to the bin containing
+    ``greatest(l.start_us, r.start_us)`` — a bin both sides provably cover
+    (max(start) is >= each start and, on overlap, <= min(end)-1) — so
+    there is no ``distinct``, one shuffle per side, and per-task work is
+    bounded by per-(key, bin) density (AQE skew split is the backstop for
+    hot bins).  Pick ``bin_us`` near the typical interval length: that
+    keeps the explode factor ~2 while the bin key does the pruning.
+
+    This is the 1-D time-domain twin of the bbox interval-overlap
+    predicate in ``engine.raster_vector_join`` (SURVEY §2.4; the
+    one-axis specialization of the reference's region-overlap test,
+    ``src/_l2space.hpp:134-168``) — the second charter-named temporal
+    join after :func:`asof_join_events`.
+    """
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(F.col("end_us") > F.col("start_us"))
+            .select(
+                F.col(key),
+                F.col("id").alias(f"{side}_id"),
+                F.col("start_us").alias(f"{side}s"),
+                F.col("end_us").alias(f"{side}e"),
+                F.explode(
+                    F.sequence(
+                        F.expr(f"start_us DIV {bin_us}"),
+                        F.expr(f"(end_us - 1) DIV {bin_us}"),
+                    )
+                ).alias("bin"),
+            )
+        )
+
+    pairs = binned(left, "l").join(binned(right, "r"), [key, "bin"])
+    return (
+        pairs.filter(
+            (F.col("ls") < F.col("re"))
+            & (F.col("rs") < F.col("le"))
+            & (F.expr(f"greatest(ls, rs) DIV {bin_us}") == F.col("bin"))
+        )
+        .select(
+            key,
+            "l_id",
+            "r_id",
+            (F.least("le", "re") - F.greatest("ls", "rs")).alias("overlap_us"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_us: int = 300_000_000) -> DataFrame:
     """Per-user SESSIONS with an inactivity gap (batch gaps-and-islands):
     a new session starts when the gap to the user's previous event exceeds

@@ -660,3 +660,67 @@ def test_embeddings_stay_float32_on_the_wire(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     f = dict(emb.dtypes)["embedding"]
     assert f == "array<float>", f
+
+
+def test_split_assign_deterministic_partition(spark):
+    """Hash split: every row lands in exactly one split, the assignment is
+    a pure function of the id (stable under repartition AND under corpus
+    growth — the no-leakage contract), and bucket arithmetic matches a
+    direct md5 computation."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = datapipe.split_assign(docs).select("doc_id", "split").toPandas()
+    assert len(a) == docs.count()
+    assert set(a["split"]) <= {"train", "val", "test"}
+    # direct oracle: first 15 md5 hex chars as int, % 100
+    def want_split(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    for r in a.itertuples():
+        assert r.split == want_split(r.doc_id), r
+    # repartition-invariance
+    b = (
+        datapipe.split_assign(docs.repartition(13))
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+    # subset-invariance: dropping half the corpus moves no surviving row
+    half = (
+        datapipe.split_assign(docs.filter("doc_id % 2 = 0"))
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    merged = a.merge(half, on="doc_id", suffixes=("_a", "_h"))
+    assert (merged.split_a == merged.split_h).all()
+
+
+def test_hash_split_summary_partition_invariant(spark):
+    """The per-split roll-up (counts, chars, xor fingerprint) is identical
+    across partitionings, splits partition the corpus exactly, and custom
+    weights hit their bucket edges."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = datapipe.hash_split_summary(docs).toPandas().sort_values("split")
+    s2 = (
+        datapipe.hash_split_summary(docs.repartition(17))
+        .toPandas()
+        .sort_values("split")
+    )
+    for c in ("split", "n_docs", "n_chars", "fp"):
+        assert (s1[c].to_numpy() == s2[c].to_numpy()).all(), c
+    assert s1["n_docs"].sum() == docs.count()
+    pdf = docs.toPandas()
+    assert s1["n_chars"].sum() == pdf["n_chars"].sum()
+    # two-way 50/50 split still partitions the corpus
+    s3 = datapipe.hash_split_summary(docs, weights=(50, 50), names=("a", "b")).toPandas()
+    assert set(s3["split"]) == {"a", "b"}
+    assert s3["n_docs"].sum() == len(pdf)
+    with _pytest.raises(ValueError):
+        datapipe.split_assign(docs, weights=(80, 10))

@@ -489,3 +489,93 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
     by_id = pdf.set_index("doc_id")
     for r in got.itertuples():
         assert by_id.loc[r.doc_id, "text"] == r.text
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketed range join vs a brute-force pandas non-equi join across
+    random interval shapes: multi-bin spans, bin-boundary-aligned ends,
+    point-adjacent (touching) intervals, empty intervals, several bin
+    widths — row set AND overlap lengths exact, each pair exactly once."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for bin_us in (10, 100, 1000):
+        n_l, n_r = 300, 280
+        def mk(n):
+            start = rng.integers(0, 5000, n)
+            dur = rng.integers(0, 400, n)  # 0 => empty interval
+            # force some ends onto exact bin boundaries
+            end = start + dur
+            snap = rng.random(n) < 0.3
+            end[snap] = ((end[snap] // bin_us) + 1) * bin_us
+            return pd.DataFrame(
+                {
+                    "user_id": rng.integers(0, 6, n),
+                    "id": np.arange(n, dtype=np.int64),
+                    "start_us": start.astype(np.int64),
+                    "end_us": end.astype(np.int64),
+                }
+            )
+
+        lp, rp = mk(n_l), mk(n_r)
+        got = (
+            streaming.interval_overlap_join(
+                spark.createDataFrame(lp),
+                spark.createDataFrame(rp),
+                bin_us=bin_us,
+            )
+            .toPandas()
+            .sort_values(["user_id", "l_id", "r_id"])
+            .reset_index(drop=True)
+        )
+        m = lp.merge(rp, on="user_id", suffixes=("_l", "_r"))
+        m = m[
+            (m.start_us_l < m.end_us_r)
+            & (m.start_us_r < m.end_us_l)
+            & (m.end_us_l > m.start_us_l)
+            & (m.end_us_r > m.start_us_r)
+        ]
+        want = pd.DataFrame(
+            {
+                "user_id": m.user_id,
+                "l_id": m.id_l,
+                "r_id": m.id_r,
+                "overlap_us": np.minimum(m.end_us_l, m.end_us_r)
+                - np.maximum(m.start_us_l, m.start_us_r),
+            }
+        ).sort_values(["user_id", "l_id", "r_id"]).reset_index(drop=True)
+        assert len(got) == len(want), (bin_us, len(got), len(want))
+        # exactly-once: no duplicate pairs from multi-bin co-coverage
+        assert not got.duplicated(["user_id", "l_id", "r_id"]).any()
+        for c in want.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), (bin_us, c)
+
+
+def test_interval_overlap_join_wide_spans_single_emission(spark):
+    """Intervals covering MANY bins (explode factor ~50) still emit each
+    overlapping pair exactly once, and fully-nested intervals report the
+    inner interval's length."""
+    import pandas as pd
+
+    lp = pd.DataFrame(
+        {"user_id": [1, 1], "id": [10, 11],
+         "start_us": [0, 2_000], "end_us": [5_000, 2_500]}
+    )
+    rp = pd.DataFrame(
+        {"user_id": [1, 2], "id": [20, 21],
+         "start_us": [100, 100], "end_us": [4_900, 4_900]}
+    )
+    got = (
+        streaming.interval_overlap_join(
+            spark.createDataFrame(lp), spark.createDataFrame(rp), bin_us=100
+        )
+        .toPandas()
+        .sort_values(["l_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    # user 2's interval matches nothing; user 1: both l intervals hit r=20
+    assert got[["user_id", "l_id", "r_id", "overlap_us"]].values.tolist() == [
+        [1, 10, 20, 4_800],
+        [1, 11, 20, 500],
+    ]
