@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Deep-iteration connected-components exhibit: a path graph of N nodes
-(diameter N) forces ~log2(N) pointer-doubling rounds.
+(diameter N) forces ~log-many alternating-star rounds.
 
 Pre-fix, Spark 4's localCheckpoint carried each round's ESTIMATED
 sizeInBytes into the next round's LogicalRDD, doubling its bit-length per

@@ -724,3 +724,26 @@ def test_hash_split_summary_partition_invariant(spark):
     assert s3["n_docs"].sum() == len(pdf)
     with _pytest.raises(ValueError):
         datapipe.split_assign(docs, weights=(80, 10))
+
+
+def test_connected_components_random_id_path(spark):
+    """Round-5 fuzz finding (trial 165, seed 20260821): a path whose ids
+    are a RANDOM permutation — not monotone along the path — made the
+    hashmin+pointer-doubling variant O(diameter): label pointers stall at
+    every local-min basin (a 487-hop planted path needed 130+ rounds;
+    simulated fuzz-distribution worst case 301).  The alternating-star
+    rewrite must converge logarithmically for ANY id ordering."""
+    n = 5_000
+    p = np.random.default_rng(77).permutation(n).astype(np.int64)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": p[:-1], "id_b": p[1:]})
+    )
+    stats: dict = {}
+    got = (
+        datapipe.connected_components(pairs, max_iter=25, stats=stats)
+        .toPandas()
+    )
+    assert len(got) == n
+    assert (got["component"] == 0).all()  # single component, min id 0
+    assert stats["rounds"] <= 20, stats   # log-class, not diameter-class
+    assert stats["stats_bits"] <= 256, stats
