@@ -10,7 +10,11 @@ finish.  With datapipe._stats_safe_local_checkpoint the estimate stays a
 small constant (stats_bits telemetry below) and the run is bounded by the
 actual joins.
 
-Usage: python jobs/cc_deep_path.py [N] [CPUS]
+Usage: python jobs/cc_deep_path.py [N] [CPUS] [ORDER]
+ORDER: 'seq' (ids monotone along the path — the easy case for label
+propagation) or 'random' (ids a random permutation — the ordering that
+exposed the O(diameter) behavior of hashmin+pointer-doubling; the
+alternating-star algorithm must stay log-round on BOTH).
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ from sparkkd import datapipe
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+ORDER = sys.argv[3] if len(sys.argv) > 3 else "seq"
 
 
 def main() -> None:
@@ -45,6 +50,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     ids = np.arange(N, dtype=np.int64)
+    if ORDER == "random":
+        ids = np.random.default_rng(5).permutation(N).astype(np.int64)
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
     )
@@ -58,6 +65,7 @@ def main() -> None:
         "n_nodes": N, "diameter": N - 1, "rounds": stats.get("rounds"),
         "stats_bits": stats.get("stats_bits"), "wall_sec": round(wall, 1),
         "rows": n_rows, "single_component_min0": bool(ok), "cpus": CPUS,
+        "order": ORDER,
     }))
     spark.stop()
 
