@@ -354,6 +354,100 @@ def fuzz_cc(spark, rng, trial):
     return cfg
 
 
+def fuzz_interval(spark, rng, trial):
+    """interval_overlap_join vs a brute-force pandas non-equi join:
+    random interval shapes (multi-bin spans, bin-boundary-aligned ends,
+    empty intervals), several bin widths, hot and sparse keys — pair set
+    and overlap lengths exact, each pair emitted exactly once."""
+    from sparkkd import streaming
+
+    nl = int(rng.integers(1, 600))
+    nr = int(rng.integers(1, 600))
+    n_users = int(rng.integers(1, 8))
+    bin_us = int(rng.choice([7, 64, 1000, 86_400]))
+    dur_cap = int(rng.choice([5, 200, 5000]))
+
+    def mk(n):
+        start = rng.integers(0, 20_000, n)
+        end = start + rng.integers(0, dur_cap + 1, n)
+        snap = rng.random(n) < 0.25
+        end[snap] = ((end[snap] // bin_us) + 1) * bin_us
+        return pd.DataFrame(
+            {
+                "user_id": rng.integers(0, n_users, n),
+                "id": np.arange(n, dtype=np.int64),
+                "start_us": start.astype(np.int64),
+                "end_us": end.astype(np.int64),
+            }
+        )
+
+    lp, rp = mk(nl), mk(nr)
+    got = streaming.interval_overlap_join(
+        spark.createDataFrame(lp), spark.createDataFrame(rp), bin_us=bin_us
+    ).toPandas()
+    m = lp.merge(rp, on="user_id", suffixes=("_l", "_r"))
+    m = m[
+        (m.start_us_l < m.end_us_r)
+        & (m.start_us_r < m.end_us_l)
+        & (m.end_us_l > m.start_us_l)
+        & (m.end_us_r > m.start_us_r)
+    ]
+    want = set(
+        zip(
+            m.user_id.tolist(),
+            m.id_l.tolist(),
+            m.id_r.tolist(),
+            (
+                np.minimum(m.end_us_l, m.end_us_r)
+                - np.maximum(m.start_us_l, m.start_us_r)
+            ).tolist(),
+        )
+    )
+    gset = set(
+        zip(
+            got.user_id.tolist(),
+            got.l_id.tolist(),
+            got.r_id.tolist(),
+            got.overlap_us.tolist(),
+        )
+    )
+    cfg = dict(op="interval", nl=nl, nr=nr, bin_us=bin_us, pairs=len(want))
+    assert len(got) == len(want), (cfg, len(got))
+    assert gset == want, cfg
+    return cfg
+
+
+def fuzz_split(spark, rng, trial):
+    """split_assign vs a hashlib oracle: random split counts and integer
+    weights, sparse random ids — every row in exactly the bucket the md5
+    arithmetic demands."""
+    import hashlib
+
+    from sparkkd import datapipe
+
+    n = int(rng.integers(1, 3000))
+    k = int(rng.integers(2, 6))
+    cuts = sorted(rng.choice(np.arange(1, 100), k - 1, replace=False).tolist())
+    weights = tuple(int(w) for w in np.diff([0] + cuts + [100]))
+    names = tuple(f"s{i}" for i in range(k))
+    ids = rng.choice(10_000_000, n, replace=False).astype(np.int64)
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    got = datapipe.split_assign(docs, weights=weights, names=names).toPandas()
+    edges = np.cumsum(weights)
+
+    def want(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        for e, nm in zip(edges, names):
+            if b < e:
+                return nm
+        raise AssertionError(b)
+
+    cfg = dict(op="split", n=n, weights=list(weights))
+    for r in got.itertuples():
+        assert r.split == want(r.doc_id), (cfg, r.doc_id, r.split)
+    return cfg
+
+
 def _rand_events(rng, n, n_users, gap_us):
     """Random event table biased toward the nasty shapes: duplicate
     timestamps, gaps landing EXACTLY on the boundary (strict-> semantics),
@@ -657,7 +751,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rng = np.random.default_rng(SEED)
     kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc, fuzz_session,
-             fuzz_asof, fuzz_snapshot, fuzz_pip, fuzz_jaccard]
+             fuzz_asof, fuzz_snapshot, fuzz_pip, fuzz_jaccard,
+             fuzz_interval, fuzz_split]
     for t in range(N_TRIALS):
         cfg = kinds[t % len(kinds)](spark, rng, t)
         print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
