@@ -1868,9 +1868,17 @@ def connected_components(
             .distinct()
         )
         new_edges = _stats_safe_local_checkpoint(e2)
-        n_new = new_edges.count()
-        # edge-set fixpoint: new ⊆ old (empty anti-join) and same size
-        changed = new_edges.join(edges, ["u", "v"], "left_anti").count()
+        # edge-set fixpoint: new ⊆ old (every new row hits an old row —
+        # both sides are distinct, so the left join cannot duplicate) and
+        # same size.  One action returns size and hit count together.
+        row = (
+            new_edges.join(
+                edges.select("u", "v", F.lit(1).alias("_old")), ["u", "v"], "left"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.count("_old").alias("hit"))
+            .collect()[0]
+        )
+        n_new, changed = int(row["n"]), int(row["n"]) - int(row["hit"])
         converged = changed == 0 and n_new == n_edges
         # `new_edges` is eagerly checkpointed (no longer depends on the old
         # edge set) — drop the superseded round's blocks immediately so
