@@ -489,10 +489,23 @@ def _round6_away(x: np.ndarray) -> np.ndarray:
 
 
 def ann_cosine_topk(
-    embeddings: DataFrame, k: int = 10, block_rows: int = 50_000
+    embeddings: DataFrame,
+    k: int = 10,
+    block_rows: int = 50_000,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k per vector (self excluded) — the exactness
     baseline for similarity search, fully distributed.
+
+    ``queries=None`` (default) is the self-join form: top-k neighbors of
+    every corpus vector within the corpus.  Passing a separate ``queries``
+    frame (same ``vec_id, embedding`` schema) gives the query-vs-corpus
+    form — top-k corpus neighbors for each query row.  "Self" exclusion is
+    by ``vec_id`` equality in both forms, so a query that shares an id
+    with a corpus row never reports itself; disjoint id spaces report all
+    k.  The query-vs-corpus form is the compute-dominant shape (output is
+    Q*k rows regardless of corpus size) used by the literal-form scaling
+    exhibit (`jobs/local_cluster_scaling.py`, SPARKKD_LC_JOB=ann_brute).
 
     The corpus is hash-split into B = ceil(N / block_rows) blocks; every
     query replicates to every block (explode over a block sequence — a
@@ -528,7 +541,8 @@ def ann_cosine_topk(
     corpus = emb.withColumn(
         "block", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    q_rep = emb.withColumn(
+    qsrc = emb if queries is None else queries.select("vec_id", "embedding")
+    q_rep = qsrc.withColumn(
         "block", F.explode(F.expr(f"sequence(0, {n_blocks - 1})"))
     ).withColumn("block", F.col("block").cast("int"))
 

@@ -193,6 +193,44 @@ def test_ann_cosine_topk_matches_numpy_oracle(spark):
         assert got["neighbor_id"].tolist() == ids[order].tolist()
 
 
+def test_ann_cosine_topk_query_vs_corpus_matches_numpy_oracle(spark):
+    """The queries= form: top-k CORPUS neighbors per query row, with a
+    disjoint query id space (no self-exclusion fires) AND one query that
+    shares an id with a corpus row (exclusion by vec_id must fire)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(77)
+    # quantize to f32 up front: the parquet column is array<float>, so the
+    # oracle must score exactly what Spark stores
+    Q = rng.normal(size=(25, M.shape[1])).astype(np.float32).astype(np.float64)
+    qids = np.arange(10_000_000, 10_000_025, dtype=np.int64)
+    # query 0 impersonates corpus row 0: same vec_id AND same vector
+    qids[0] = ids[0]
+    Q[0] = M[0]
+    qpdf = pd.DataFrame(
+        {"vec_id": qids, "embedding": [r.astype(np.float32) for r in Q]}
+    )
+    qdf = spark.createDataFrame(qpdf, schema="vec_id long, embedding array<float>")
+    res = datapipe.ann_cosine_topk(
+        emb, k=5, block_rows=40, queries=qdf
+    ).toPandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = datapipe._round6_away(Qn @ Mn.T)
+    for qi in range(len(qids)):
+        s = S[qi].copy()
+        s[ids == qids[qi]] = -np.inf
+        order = np.lexsort((ids, -s))[:5]
+        got = res[res["vec_id"] == qids[qi]].sort_values("rank")
+        assert got["neighbor_id"].tolist() == ids[order].tolist()
+        assert np.array_equal(got["sim"].to_numpy(), S[qi][order])
+    assert ids[0] not in set(
+        res[res["vec_id"] == qids[0]]["neighbor_id"]
+    )
+
+
 def test_image_stats_matches_expected_pixels(spark, sf0001_fixtures):
     images = spark.read.parquet(str(sf0001_fixtures / "images.parquet"))
     res = datapipe.image_stats(images.limit(60)).toPandas()
