@@ -481,6 +481,29 @@ def simhash_near_dup(
 # ------------------------------------------------------------------- ANN
 
 
+# Worker-lifetime reusable scratch for the brute-ANN GEMM kernel.  The
+# (chunk, Nb) similarity matrix, its partition copy, and the admission
+# mask are the three large per-chunk temporaries; alloc/free-cycling them
+# makes the kernel FAULT-bound, not flop-bound, on glibc hosts — each
+# cycle munmaps (or heap-trims) the block, so every chunk first-touch
+# refaults it.  Measured on the literal-form scaling exhibit (Q=25k,
+# N=3M, d=128: ~675 GB of refault traffic): the fault path runs at
+# ~0.27 GB/s/process and sub-linear aggregate, which predicted the
+# observed 289 s (8 cores) / 103 s (32 cores) almost exactly.  Reusing
+# the buffers across chunks AND tasks (Spark reuses python workers)
+# leaves only the GEMM itself.  Capacity grows monotonically to the
+# largest (chunk x block) seen by this worker; callers bound it via
+# block_rows (default 50k -> <=1.8 GB/worker).
+_GEMM_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _gemm_scratch(name: str, n_elem: int, dtype: type) -> np.ndarray:
+    buf = _GEMM_SCRATCH.get(name)
+    if buf is None or buf.size < n_elem:
+        _GEMM_SCRATCH[name] = buf = np.empty(n_elem, dtype)
+    return buf
+
+
 def _round6_away(x: np.ndarray) -> np.ndarray:
     """Round to 6dp half-AWAY-FROM-ZERO — the same rule as SQL round(x, 6)
     in both Spark and DuckDB (np.round is banker's/half-even; a sim landing
@@ -561,7 +584,9 @@ def ann_cosine_topk(
             1e-3 + 4.0 * (M64.shape[1] + 8) * np.finfo(np.float32).eps
         )
         out = []
-        kk = min(k, len(ids))
+        nb = len(ids)
+        kk = min(k, nb)
+        cap = 4096 * nb
         for c0 in range(0, len(left), 4096):  # memory-bounding chunk loop
             p = left.iloc[c0 : c0 + 4096]
             q64 = np.array(p["embedding"].tolist(), dtype=np.float64)
@@ -569,11 +594,22 @@ def ann_cosine_topk(
             q32 = q64.astype(np.float32)
             qn32 = q32 / np.linalg.norm(q32, axis=1, keepdims=True)
             qids = p["vec_id"].to_numpy(np.int64)
-            sim32 = qn32 @ Mn32.T  # (Bq, Nb) — the hot matmul, f32
-            sim32[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            m = len(p)
+            # all three large temporaries live in worker-lifetime scratch
+            # (see _GEMM_SCRATCH): values are identical to the plain
+            # `qn32 @ Mn32.T` / np.partition / boolean-mask forms
+            sim32 = _gemm_scratch("sim", cap, np.float32)[: m * nb].reshape(m, nb)
+            np.matmul(qn32, Mn32.T, out=sim32)  # (Bq, Nb) — the hot matmul, f32
+            mask = _gemm_scratch("mask", cap, np.bool_)[: m * nb].reshape(m, nb)
+            np.equal(qids[:, None], ids[None, :], out=mask)
+            sim32[mask] = -np.inf  # exclude self
             # select every candidate within the error margin of the f32 kth
-            kth = np.partition(sim32, -kk, axis=1)[:, -kk]
-            rq, rc = np.nonzero(sim32 >= (kth[:, None] - marg))
+            scr = _gemm_scratch("part", cap, np.float32)[: m * nb].reshape(m, nb)
+            np.copyto(scr, sim32)
+            scr.partition(nb - kk, axis=1)  # in-place: kth-largest at nb-kk
+            kth = scr[:, nb - kk]
+            np.greater_equal(sim32, (kth - marg)[:, None], out=mask)
+            rq, rc = np.nonzero(mask)
             # exact float64 rescore of selected pairs only
             simr = _round6_away(
                 np.einsum("ij,ij->i", qn64[rq], Mn64[rc])
