@@ -1,18 +1,20 @@
-"""Pure-stdlib image codecs (raw / BMP / PNG-zlib) + fidelity metrics.
+"""Pure-stdlib image codecs (raw / BMP / PNG-zlib / lossy q6) + fidelity.
 
 The sandbox has no PIL/opencv, so the fixture corpus only uses formats we can
-encode AND decode bit-exactly with the standard library:
+encode AND decode deterministically with the standard library:
 
-* ``raw``  — packed RGB bytes, row-major, no header.
+* ``raw``  — packed RGB bytes, row-major, no header (lossless).
 * ``bmp``  — 24-bit uncompressed Windows BMP (BITMAPINFOHEADER), bottom-up
-             rows with 4-byte row padding.
+             rows with 4-byte row padding (lossless).
 * ``png``  — 8-bit RGB PNG, filter type 0 on every scanline, single IDAT,
-             zlib level 6.
+             zlib level 6 (lossless).
+* ``q6``   — 6-bit-per-channel quantized RGB, four samples packed into three
+             bytes (LOSSY: bounded 3-LSB error, ~44 dB PSNR on the corpus).
 
-These are the three ``fmt`` values of the corpus schema
-``(image_id, bytes, w, h, fmt, caption, phash)``.  All are lossless, so the
-per-row invariant is byte/pixel exactness; ``psnr`` exists for any future
-lossy format (invariant would be PSNR >= 40 dB).
+These are the four ``fmt`` values of the corpus schema
+``(image_id, bytes, w, h, fmt, caption, phash)``.  The per-row north-rule
+invariant is byte/pixel exactness for the lossless three and PSNR >= 40 dB
+for q6 (``psnr`` below).
 """
 
 from __future__ import annotations
@@ -127,9 +129,55 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------- q6 (lossy)
+
+
+def encode_q6(pixels: np.ndarray) -> bytes:
+    """6-bit-per-channel quantized RGB — the one LOSSY corpus format.
+
+    Drops the two low bits of every channel and packs four 6-bit values
+    into three bytes (payload is exactly 3/4 of raw).  Decoding replicates
+    the top bits into the dropped positions (``v<<2 | v>>4``), the standard
+    bit-replication reconstruction, so the per-channel error is bounded by
+    3 LSB; PSNR is ~44 dB on byte-uniform content (worst constructible
+    content — every value carrying the max residue — is 38.6 dB, so the
+    40 dB north-rule floor is an invariant of the corpus generator's
+    pseudo-uniform patterns, asserted per-row in tests, not of the format
+    in the abstract).  Quantization is
+    idempotent: re-encoding a decoded q6 image is byte-identical, which
+    keeps the fidelity invariant checkable without the original."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    flat = (pixels.reshape(-1) >> 2).astype(np.uint8)  # 6-bit codes
+    pad = (-flat.size) % 4
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    v = flat.reshape(-1, 4)
+    out = np.empty((v.shape[0], 3), np.uint8)
+    out[:, 0] = (v[:, 0] << 2) | (v[:, 1] >> 4)
+    out[:, 1] = ((v[:, 1] & 0xF) << 4) | (v[:, 2] >> 2)
+    out[:, 2] = ((v[:, 2] & 0x3) << 6) | v[:, 3]
+    return out.tobytes()
+
+
+def decode_q6(data: bytes, w: int, h: int) -> np.ndarray:
+    b = np.frombuffer(data, np.uint8).reshape(-1, 3)
+    v = np.empty((b.shape[0], 4), np.uint8)
+    v[:, 0] = b[:, 0] >> 2
+    v[:, 1] = ((b[:, 0] & 0x3) << 4) | (b[:, 1] >> 4)
+    v[:, 2] = ((b[:, 1] & 0xF) << 2) | (b[:, 2] >> 6)
+    v[:, 3] = b[:, 2] & 0x3F
+    codes = v.reshape(-1)[: h * w * 3]
+    return ((codes << 2) | (codes >> 4)).reshape(h, w, 3)
+
+
 # ---------------------------------------------------------------- dispatch
 
-FORMATS = ("raw", "bmp", "png")
+FORMATS = ("raw", "bmp", "png", "q6")
+LOSSLESS = frozenset({"raw", "bmp", "png"})
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt in LOSSLESS
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -139,6 +187,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(pixels)
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "q6":
+        return encode_q6(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -149,6 +199,8 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "q6":
+        return decode_q6(data, w, h)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -2201,9 +2201,9 @@ def image_resize_stats(images: DataFrame, out_w: int = 16, out_h: int = 16) -> D
 
 def image_fidelity(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
     """Per-row decoded-pixel fidelity vs the deterministic generator
-    pattern (north_rule per-row invariant: decoded pixels allclose, PSNR >=
-    40 dB for lossy formats; every sandbox codec is lossless so mse must be
-    exactly 0).  PSNR is capped at 99 dB for exact matches."""
+    pattern (north_rule per-row invariant: decoded pixels allclose — mse
+    exactly 0 for the lossless formats raw/bmp/png, PSNR >= 40 dB for the
+    lossy q6 format).  PSNR is capped at 99 dB for exact matches."""
     from . import synth
 
     def gen(batches):

@@ -36,7 +36,7 @@ _WORDS = (
 ).split()
 
 SIZES = np.array([16, 24, 32], dtype=np.int32)
-FMTS = ("raw", "bmp", "png")
+FMTS = ("raw", "bmp", "png", "q6")  # q6 is lossy (PSNR>=40 invariant)
 
 # sf tag -> (n_images, n_queries)
 SF_SIZES = {
@@ -53,7 +53,7 @@ SF_SIZES = {
 
 LITE_TAGS = {"sf2"}
 
-FIXTURE_VERSION = 3  # bump to invalidate cached fixtures
+FIXTURE_VERSION = 4  # bump to invalidate cached fixtures (v4: lossy q6 rows)
 
 # hot-spot box: all hot rows fall inside this tiny bbox -> one hot grid cell
 # at any level <= ~13 (box is ~0.04 deg wide).  Exercises salting.
@@ -106,7 +106,7 @@ def gen_images(n: int, seed: int = 42, lite: bool = False) -> pa.Table:
     u = phash.view(np.uint64)
     w = SIZES[(u % np.uint64(3)).astype(np.int64)]
     h = SIZES[((u >> np.uint64(7)) % np.uint64(3)).astype(np.int64)]
-    fmt_idx = ((u >> np.uint64(13)) % np.uint64(3)).astype(np.int64)
+    fmt_idx = ((u >> np.uint64(13)) % np.uint64(4)).astype(np.int64)
     a = ((u >> np.uint64(20)) & np.uint64(0xFF)).astype(np.int64)
     b = ((u >> np.uint64(28)) & np.uint64(0xFF)).astype(np.int64)
     c = ((u >> np.uint64(36)) & np.uint64(0xFF)).astype(np.int64)

@@ -185,7 +185,11 @@ def test_payload_fidelity_through_knn(spark, tables):
         assert row["caption"] == src.loc[row["image_id"], "caption"]  # byte-equal
         px = codec.decode(bytes(row["bytes"]), row["fmt"], row["w"], row["h"])
         want = synth.expected_pixels(row["phash"], row["w"], row["h"])
-        assert (px == want).all()
+        if codec.is_lossless(row["fmt"]):
+            assert (px == want).all()
+        else:  # lossy q6: north-rule PSNR floor + bounded per-channel error
+            assert np.abs(px.astype(np.int16) - want.astype(np.int16)).max() <= 3
+            assert codec.psnr(px, want) >= 40.0
 
 
 def test_tile_assignment_stable_across_partitioning(spark, tables):
