@@ -1,0 +1,174 @@
+"""Brute-force oracles for the composite geo analytics (analytics.py):
+DBSCAN roles/labels, IDW values, and k-ring focal sums are each recomputed
+with plain NumPy/python over the same fixture corpus and compared exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from sparkkd import analytics, cells, synth
+
+EPS = 0.5
+MIN_PTS = 5
+
+
+def _pts(root):
+    img = pq.read_table(root / "images.parquet", columns=["image_id", "phash"])
+    df = img.to_pandas()
+    lat, lon = cells.phash_to_coords(df.phash.to_numpy())
+    return df.image_id.to_numpy(), lon, lat
+
+
+def _brute_dbscan(ids, x, y, eps, min_pts):
+    """Reference DBSCAN with the engine's deterministic label rules."""
+    n = len(ids)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    adj = np.sqrt(d2) <= eps  # includes self
+    n_eps = adj.sum(axis=1)
+    is_core = n_eps >= min_pts
+    # union-find over core-core edges
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.nonzero(is_core)[0]
+    for a in ci:
+        for b in np.nonzero(adj[a] & is_core)[0]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roles, labels = [], []
+    comp_label = {}
+    for a in ci:
+        r = find(a)
+        comp_label.setdefault(r, []).append(ids[a])
+    comp_label = {r: min(v) for r, v in comp_label.items()}
+    for a in range(n):
+        if is_core[a]:
+            roles.append("core")
+            labels.append(comp_label[find(a)])
+        else:
+            nbr_cores = np.nonzero(adj[a] & is_core)[0]
+            if len(nbr_cores) > 0:
+                roles.append("border")
+                labels.append(min(comp_label[find(b)] for b in nbr_cores))
+            else:
+                roles.append("noise")
+                labels.append(None)
+    return pd.DataFrame({"image_id": ids, "role": roles, "cluster": labels})
+
+
+def test_geo_dbscan_matches_brute_force(spark, sf0001_fixtures):
+    root = sf0001_fixtures
+    ids, x, y = _pts(root)
+    expect = _brute_dbscan(ids, x, y, EPS, MIN_PTS).sort_values(
+        "image_id"
+    ).reset_index(drop=True)
+    images = spark.read.parquet(str(root / "images.parquet"))
+    got = (
+        analytics.geo_dbscan(spark, images, eps=EPS, min_pts=MIN_PTS)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ids)
+    pd.testing.assert_frame_equal(got, expect)
+    # sanity: the fixture produces all three roles at these parameters
+    assert set(got.role.unique()) == {"core", "border", "noise"}
+
+
+def test_geo_dbscan_hot_spot_is_one_cluster(spark, sf0001_fixtures):
+    """Every point in the synthetic hot box is pairwise within EPS, so the
+    whole box must land in ONE cluster with every member core."""
+    root = sf0001_fixtures
+    images = spark.read.parquet(str(root / "images.parquet"))
+    got = analytics.geo_dbscan(spark, images, eps=EPS, min_pts=MIN_PTS).toPandas()
+    ids, x, y = _pts(root)
+    hot = (
+        (x >= synth.HOT_LON)
+        & (x <= synth.HOT_LON + synth.HOT_W)
+        & (y >= synth.HOT_LAT)
+        & (y <= synth.HOT_LAT + synth.HOT_W)
+    )
+    hot_ids = set(ids[hot])
+    sub = got[got.image_id.isin(hot_ids)]
+    assert (sub.role == "core").all()
+    assert sub.cluster.nunique() == 1
+
+
+def test_idw_matches_brute_force(spark, sf0001_fixtures):
+    root = sf0001_fixtures
+    ids, x, y = _pts(root)
+    img_pd = pq.read_table(
+        root / "images.parquet", columns=["image_id", "w", "h"]
+    ).to_pandas()
+    val = (img_pd.w * img_pd.h).astype(np.float64).to_numpy()
+    q = pq.read_table(root / "queries.parquet").to_pandas()
+    k = 8
+    images = spark.read.parquet(str(root / "images.parquet")).withColumn(
+        "val", F.expr("CAST(w * h AS DOUBLE)")
+    )
+    queries = spark.read.parquet(str(root / "queries.parquet"))
+    got = (
+        analytics.idw_interpolate(spark, images, queries, "val", k=k)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    # brute force with the identical rank-ordered fold
+    order_ids = {i: j for j, i in enumerate(ids)}
+    vals = val[[order_ids[i] for i in img_pd.image_id]]
+    exp_rows = []
+    for _, row in q.iterrows():
+        d = np.sqrt((x - row.qlon) ** 2 + (y - row.qlat) ** 2)
+        ordk = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:k]
+        num = den = 0.0
+        for i in ordk:
+            num += vals[i] / (d[i] + analytics.IDW_EPS)
+            den += 1.0 / (d[i] + analytics.IDW_EPS)
+        exp_rows.append((row.query_id, num / den, k))
+    expect = (
+        pd.DataFrame(exp_rows, columns=["query_id", "idw_value", "n_used"])
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    assert (got.n_used == k).all()
+    np.testing.assert_array_equal(got.query_id.to_numpy(), expect.query_id.to_numpy())
+    # fold order identical => bit-exact
+    np.testing.assert_array_equal(
+        got.idw_value.to_numpy(), expect.idw_value.to_numpy()
+    )
+
+
+@pytest.mark.parametrize("level", [5, 7])
+def test_kring_matches_dense_grid(spark, sf0001_fixtures, level):
+    root = sf0001_fixtures
+    ids, x, y = _pts(root)
+    n = 1 << level
+    cid = cells.cell_id(x, y, level)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (cid // n, cid % n), 1)
+    ring = np.zeros_like(grid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            src = grid[
+                max(0, -dy) : n - max(0, dy), max(0, -dx) : n - max(0, dx)
+            ]
+            ring[max(0, dy) : n - max(0, -dy), max(0, dx) : n - max(0, -dx)] += src
+    images = spark.read.parquet(str(root / "images.parquet"))
+    got = analytics.kring_smooth(images, level).toPandas()
+    occupied = np.nonzero(grid)
+    assert len(got) == len(occupied[0])
+    got = got.set_index("cell_id")
+    for iy, ix in zip(*occupied):
+        c = iy * n + ix
+        assert got.loc[c, "n_rows"] == grid[iy, ix]
+        assert got.loc[c, "ring_rows"] == ring[iy, ix]
