@@ -737,6 +737,73 @@ def fuzz_snapshot(spark, rng, trial):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def fuzz_dbscan(spark, rng, trial):
+    """geo_dbscan (radius self-join + degree + CC + border assignment) vs
+    a brute-force union-find DBSCAN with the same deterministic label
+    rules (cluster = min core id; border takes min core-neighbor label)."""
+    from sparkkd import analytics
+
+    n = int(rng.integers(2, 800))
+    flavor = str(rng.choice(["uniform", "clusters", "point_mass", "boundary"]))
+    eps = float(rng.uniform(0.05, 5.0))
+    min_pts = int(rng.integers(2, 9))
+    mcr = int(rng.choice([4, 16, 64, 8192]))
+    ph, xy = _quantized(_coords(rng, n, flavor))
+    ids = np.array([f"i{j:06d}" for j in range(n)])
+    img = spark.createDataFrame(pd.DataFrame({"image_id": ids, "phash": ph}))
+    got = (
+        analytics.geo_dbscan(spark, img, eps=eps, min_pts=min_pts,
+                             max_cell_rows=mcr)
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    # brute force with identical rules
+    adj = (
+        np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)) <= eps
+    )  # includes self
+    is_core = adj.sum(axis=1) >= min_pts
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.nonzero(is_core)[0]
+    for a in ci:
+        for b in np.nonzero(adj[a] & is_core)[0]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_label: dict[int, str] = {}
+    for a in ci:
+        r = find(a)
+        if r not in comp_label or ids[a] < comp_label[r]:
+            comp_label[r] = ids[a]
+    roles = np.full(n, "noise", dtype=object)
+    labels = np.full(n, None, dtype=object)
+    roles[is_core] = "core"
+    for a in ci:
+        labels[a] = comp_label[find(a)]
+    for a in np.nonzero(~is_core)[0]:
+        nbc = np.nonzero(adj[a] & is_core)[0]
+        if len(nbc) > 0:
+            roles[a] = "border"
+            labels[a] = min(comp_label[find(b)] for b in nbc)
+    cfg = dict(op="dbscan", n=n, flavor=flavor, eps=round(eps, 3),
+               min_pts=min_pts, mcr=mcr,
+               n_core=int(is_core.sum()),
+               n_clusters=len(set(comp_label.values())))
+    assert len(got) == n, (cfg, len(got))
+    assert (got.image_id.to_numpy() == ids).all(), cfg
+    assert (got.role.to_numpy() == roles).all(), (
+        cfg, np.nonzero(got.role.to_numpy() != roles)[0][:5])
+    gl = got.cluster.to_numpy(dtype=object)
+    gl = np.where(pd.isna(gl), None, gl)
+    assert (gl == labels).all(), (cfg, np.nonzero(gl != labels)[0][:5])
+    return cfg
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -752,7 +819,7 @@ def main() -> None:
     rng = np.random.default_rng(SEED)
     kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc, fuzz_session,
              fuzz_asof, fuzz_snapshot, fuzz_pip, fuzz_jaccard,
-             fuzz_interval, fuzz_split]
+             fuzz_interval, fuzz_split, fuzz_dbscan]
     for t in range(N_TRIALS):
         cfg = kinds[t % len(kinds)](spark, rng, t)
         print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
