@@ -27,10 +27,15 @@ Scale notes (100 TB shapes):
 
 * geo_dbscan's only super-linear object is the eps-graph itself — which is
   the OUTPUT of the radius join and inherently as large as the data's
-  density demands.  Every stage is a keyed shuffle on ids (degree count,
-  CC star rounds, border min) — no driver materialization, no cross join;
-  hot-cell skew in the self-join is handled by the radius engine's salting
-  and heavy-group splitting exactly as for any radius query.
+  density demands.  Every pass over it is a SINGLE partial-agg shuffle
+  (degree count, cell-edge distinct, border min); the ITERATIVE stage (CC)
+  never sees it: an eps/sqrt(2) grid contraction (GriDBSCAN/MR-DBSCAN
+  family) collapses each cell — internally eps-connected by construction —
+  to one super-node, so star rounds run over the cell-adjacency graph
+  (measured at sf0.1: ~1e8 clique edges -> ~1e2 cell edges).  No driver
+  materialization, no cross join; hot-cell skew in the self-join is
+  handled by the radius engine's salting and heavy-group splitting
+  exactly as for any radius query.
 * idw_interpolate adds one map-side join (values onto neighbors, both
   sides pre-partitioned by image_id at scale) and one groupBy(query_id)
   whose groups are bounded by k — the collect_list is k structs, never
@@ -78,36 +83,79 @@ def geo_dbscan(
         F.col("x").alias("qlon"),
     )
     # eps-graph: indexed radius SELF-join (includes the self pair at d=0,
-    # so count(*) per query IS |eps-ball| with the point itself)
-    pairs = engine.radius_join(
-        spark, images, q, r=eps, level=level,
-        max_cell_rows=max_cell_rows, n_images_hint=n_images_hint,
-    ).select("query_id", "image_id")
+    # so count(*) per query IS |eps-ball| with the point itself).  Three
+    # downstream consumers (degree, cell edges, border assignment) share
+    # ONE materialization via the engine's one-shot cache registry —
+    # released by the next one-shot geo op or engine.release_caches()
+    pairs = engine._register_cache(
+        engine.radius_join(
+            spark, images, q, r=eps, level=level,
+            max_cell_rows=max_cell_rows, n_images_hint=n_images_hint,
+        ).select("query_id", "image_id"),
+        engine._ONESHOT_CACHES,
+    )
     deg = pairs.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_eps"))
-    core = deg.filter(F.col("n_eps") >= int(min_pts)).select(
-        F.col("query_id").alias("id")
+    core = engine._register_cache(
+        deg.filter(F.col("n_eps") >= int(min_pts)).select(
+            F.col("query_id").alias("id")
+        ),
+        engine._ONESHOT_CACHES,
     )
-    # core-core edges (self pairs kept: an isolated core point is its own
-    # cluster — the self loop keeps it in the CC id universe)
-    core_edges = (
-        pairs.join(core.withColumnRenamed("id", "query_id"), "query_id", "left_semi")
-        .join(core.withColumnRenamed("id", "image_id"), "image_id", "left_semi")
-        .select(F.col("query_id").alias("id_a"), F.col("image_id").alias("id_b"))
+    # ---- grid super-node contraction (GriDBSCAN/MR-DBSCAN family): an
+    # eps/sqrt(2)-wide grid cell has diagonal <= eps, so any two CORE
+    # points in the same cell are provably eps-neighbors and the whole
+    # cell is one cluster fragment.  Connected components then run over
+    # the CELL-adjacency graph (one distinct edge per cross-cell core
+    # pair) instead of the raw core-core edge set — a dense region of m
+    # points contributes O(neighbor cells) edges, not O(m^2): the 1e8-
+    # edge hot-box clique at sf0.1 collapses to a handful of cell edges.
+    # Components are EXACTLY those of the full core graph: same-cell
+    # cores are connected by construction, and every cross-cell edge of
+    # the true graph appears as its cell pair.
+    assert eps > 1e-6, "eps below the grid-packing floor (cix < 2^32)"
+    w = float(eps) / (2.0 ** 0.5)
+    cell = (
+        (F.floor((F.col("y") + F.lit(90.0)) / F.lit(w)).cast("long")
+         * F.lit(1 << 32))
+        + F.floor((F.col("x") + F.lit(180.0)) / F.lit(w)).cast("long")
     )
-    comp = connected_components(core_edges)  # (id, component) — cores only
-    core_rows = comp.select(
-        F.col("id").alias("image_id"),
-        F.lit("core").alias("role"),
-        F.col("component").alias("cluster"),
+    core_cells = (
+        pts.join(core.withColumnRenamed("id", "image_id"), "image_id", "left_semi")
+        .select("image_id", cell.alias("cell"))
+    )
+    half = pairs.filter(F.col("query_id") < F.col("image_id"))
+    cell_edges = (
+        half.join(
+            core_cells.select(
+                F.col("image_id").alias("query_id"), F.col("cell").alias("ca")
+            ),
+            "query_id",
+        )
+        .join(core_cells.select("image_id", F.col("cell").alias("cb")), "image_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
+        .distinct()
+    )
+    ccomp = connected_components(cell_edges)  # (cell, component-cell)
+    core_comp = core_cells.join(
+        ccomp.withColumnRenamed("id", "cell"), "cell", "left"
+    ).select(
+        "image_id",
+        F.coalesce("component", "cell").alias("comp"),  # isolated cells
+    )
+    # cluster label = min core image_id of the component (the same
+    # representative the direct core-graph CC would produce)
+    labels = core_comp.groupBy("comp").agg(F.min("image_id").alias("cluster"))
+    core_labeled = core_comp.join(labels, "comp").select("image_id", "cluster")
+    core_rows = core_labeled.select(
+        "image_id", F.lit("core").alias("role"), "cluster"
     )
     # border: non-core with >= 1 core neighbor -> min core-neighbor label
     border_rows = (
         pairs.join(core.withColumnRenamed("id", "query_id"), "query_id", "left_anti")
-        .join(
-            comp.withColumnRenamed("id", "image_id"), "image_id"
-        )  # inner: core neighbors only
+        .join(core_labeled, "image_id")  # inner: core neighbors only
         .groupBy("query_id")
-        .agg(F.min("component").alias("cluster"))
+        .agg(F.min("cluster").alias("cluster"))
         .select(
             F.col("query_id").alias("image_id"),
             F.lit("border").alias("role"),
