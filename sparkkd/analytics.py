@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from . import cells, engine
 from .datapipe import connected_components
 
-__all__ = ["geo_dbscan", "idw_interpolate", "kring_smooth"]
+__all__ = ["geo_dbscan", "idw_interpolate", "kring_smooth", "zonal_stats"]
 
 
 def geo_dbscan(
@@ -221,6 +221,39 @@ def idw_interpolate(
         "query_id",
         (F.expr(num) / F.expr(den)).alias("idw_value"),
         F.size("nb").alias("n_used"),
+    )
+
+
+def zonal_stats(
+    spark: SparkSession,
+    images: DataFrame,
+    polygons: DataFrame,
+    value_col: str,
+    level: int = 6,
+    mode: str = "broadcast",
+) -> DataFrame:
+    """Zonal statistics (the classic vector-zone raster summary): per
+    polygon, count / sum / mean / min / max of ``value_col`` over the
+    image points inside it (even-odd ray-cast membership via
+    :func:`engine.pip_join`, broadcast or distributed mode).
+
+    Returns (poly_id, n_points, sum_val, avg_val, min_val, max_val) for
+    polygons containing at least one point.  With integral values the
+    double sum is EXACT (order-independent below 2^53), so the row is
+    hash-stable; avg is one division of exact terms.
+    """
+    member = engine.pip_join(spark, images, polygons, level=level, mode=mode)
+    vals = images.select("image_id", F.col(value_col).cast("double").alias("val"))
+    return (
+        member.join(vals, "image_id")
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("val").alias("sum_val"),
+            (F.sum("val") / F.count(F.lit(1))).alias("avg_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
     )
 
 

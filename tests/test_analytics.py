@@ -148,6 +148,46 @@ def test_idw_matches_brute_force(spark, sf0001_fixtures):
     )
 
 
+def test_zonal_stats_matches_membership_aggregation(spark, sf0001_fixtures):
+    """Aggregates over the ray-cast membership must equal a pandas
+    recomputation from the same (independently verified) membership
+    kernel; integral values keep every stat exact."""
+    from sparkkd.engine import _polygon_arrays, ray_cast_inside
+
+    root = sf0001_fixtures
+    ids, x, y = _pts(root)
+    img_pd = pq.read_table(
+        root / "images.parquet", columns=["image_id", "w", "h"]
+    ).to_pandas()
+    val = (img_pd.w * img_pd.h).astype(np.float64).to_numpy()
+    vmap = dict(zip(img_pd.image_id, val))
+    poly_pdf = pq.read_table(root / "polygons.parquet").to_pandas()
+    edges = _polygon_arrays(poly_pdf)
+    rows = []
+    for pid, e in edges.items():
+        inside = ray_cast_inside(x, y, e)
+        if inside.any():
+            vv = np.array([vmap[i] for i in ids[inside]])
+            rows.append((pid, int(inside.sum()), vv.sum(),
+                         vv.sum() / inside.sum(), vv.min(), vv.max()))
+    expect = (
+        pd.DataFrame(rows, columns=["poly_id", "n_points", "sum_val",
+                                    "avg_val", "min_val", "max_val"])
+        .sort_values("poly_id").reset_index(drop=True)
+    )
+    images = spark.read.parquet(str(root / "images.parquet")).withColumn(
+        "val", F.expr("CAST(w * h AS DOUBLE)")
+    )
+    polygons = spark.read.parquet(str(root / "polygons.parquet"))
+    from sparkkd import analytics as A
+
+    got = (
+        A.zonal_stats(spark, images, polygons, "val")
+        .toPandas().sort_values("poly_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 @pytest.mark.parametrize("level", [5, 7])
 def test_kring_matches_dense_grid(spark, sf0001_fixtures, level):
     root = sf0001_fixtures
