@@ -49,10 +49,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from . import cells, engine
-from .datapipe import connected_components
+from .datapipe import _free_local_checkpoint, connected_components
 
 __all__ = ["geo_dbscan", "idw_interpolate", "kring_smooth", "zonal_stats"]
+
+# the cell-component map is usually tiny (that is the point of the grid
+# contraction: one row per DENSE cell touched by a cross-cell core pair);
+# below this row count it is collected into a plain re-computable local
+# relation so the CC checkpoints can be freed IMMEDIATELY and repeated
+# geo_dbscan calls hold zero checkpoint state.  Above it (pathologically
+# many dense cells) the checkpoint is kept and registered for release by
+# the next one-shot op — bounded at one call's worth either way.
+_COMP_COLLECT_MAX = int(os.environ.get("SPARKKD_DBSCAN_COLLECT_MAX", "262144"))
+
+
+class _CheckpointRelease:
+    """Registry shim: lets a localCheckpoint-backed frame ride the one-shot
+    cache registry (whose drain calls .unpersist()) so its storage blocks
+    are freed by the NEXT one-shot op instead of leaking per call."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        _free_local_checkpoint(self._df)
 
 
 def geo_dbscan(
@@ -76,6 +99,9 @@ def geo_dbscan(
     Returns (image_id, role, cluster) for EVERY input row — role in
     {'core','border','noise'}, cluster NULL for noise.
     """
+    # PREVIOUS one-shot call's intermediates (the geo radius path is pure
+    # streaming and does not drain the registry itself)
+    engine._release_registry(engine._ONESHOT_CACHES)
     pts = engine.with_coords(images).select("image_id", "x", "y")
     q = pts.select(
         F.col("image_id").alias("query_id"),
@@ -137,6 +163,16 @@ def geo_dbscan(
         .distinct()
     )
     ccomp = connected_components(cell_edges)  # (cell, component-cell)
+    # free the CC labels checkpoint: collect the (tiny) cell-component map
+    # into a pure local relation so the returned frame never references
+    # checkpoint blocks and repeated calls pin nothing (the repeated-call
+    # storage test in test_analytics.py guards this)
+    cpd = ccomp.limit(_COMP_COLLECT_MAX + 1).toPandas()
+    if len(cpd) <= _COMP_COLLECT_MAX:
+        _free_local_checkpoint(ccomp)
+        ccomp = spark.createDataFrame(cpd, schema="id bigint, component bigint")
+    else:  # bounded fallback: next one-shot op frees it
+        engine._ONESHOT_CACHES.append(_CheckpointRelease(ccomp))  # type: ignore[arg-type]
     core_comp = core_cells.join(
         ccomp.withColumnRenamed("id", "cell"), "cell", "left"
     ).select(

@@ -188,6 +188,49 @@ def test_zonal_stats_matches_membership_aggregation(spark, sf0001_fixtures):
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
 
 
+def test_zonal_stats_distributed_mode_identical(spark, sf0001_fixtures):
+    """Broadcast and distributed PIP paths must aggregate to the same
+    zonal rows (they share membership semantics by the pip oracle rows)."""
+    from sparkkd import analytics as A
+
+    root = sf0001_fixtures
+    images = spark.read.parquet(str(root / "images.parquet")).withColumn(
+        "val", F.expr("CAST(w * h AS DOUBLE)")
+    )
+    polygons = spark.read.parquet(str(root / "polygons.parquet"))
+    a = (
+        A.zonal_stats(spark, images, polygons, "val", mode="broadcast")
+        .toPandas().sort_values("poly_id").reset_index(drop=True)
+    )
+    b = (
+        A.zonal_stats(spark, images, polygons, "val", mode="distributed")
+        .toPandas().sort_values("poly_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_geo_dbscan_repeated_calls_reach_steady_storage(spark, sf0001_fixtures):
+    """geo_dbscan registers its eps-graph in the one-shot registry —
+    repeated calls must drain the previous call's blocks (the same
+    long-session contract test_cache_discipline pins for the joins)."""
+    from sparkkd import engine as E
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    root = sf0001_fixtures
+    images = spark.read.parquet(str(root / "images.parquet"))
+    base = n_persisted()
+    first = None
+    for _ in range(2):
+        analytics.geo_dbscan(spark, images, eps=EPS, min_pts=MIN_PTS).count()
+        if first is None:
+            first = n_persisted()
+    assert n_persisted() <= first, (first, n_persisted())
+    E.release_caches()
+    assert n_persisted() <= base, (base, n_persisted())
+
+
 @pytest.mark.parametrize("level", [5, 7])
 def test_kring_matches_dense_grid(spark, sf0001_fixtures, level):
     root = sf0001_fixtures
