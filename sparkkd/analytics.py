@@ -54,7 +54,13 @@ import os
 from . import cells, engine
 from .datapipe import _free_local_checkpoint, connected_components
 
-__all__ = ["geo_dbscan", "idw_interpolate", "kring_smooth", "zonal_stats"]
+__all__ = [
+    "geo_dbscan",
+    "embedding_dbscan",
+    "idw_interpolate",
+    "kring_smooth",
+    "zonal_stats",
+]
 
 # the cell-component map is usually tiny (that is the point of the grid
 # contraction: one row per DENSE cell touched by a cross-cell core pair);
@@ -76,6 +82,21 @@ class _CheckpointRelease:
 
     def unpersist(self) -> None:
         _free_local_checkpoint(self._df)
+
+
+def _localize_components(spark: SparkSession, comp: DataFrame) -> DataFrame:
+    """Detach a connected_components result from its localCheckpoint:
+    below _COMP_COLLECT_MAX rows, collect into a pure re-computable local
+    relation and free the checkpoint NOW (repeated calls pin nothing);
+    above it, keep the checkpoint and register it for release by the
+    next one-shot op (bounded at one call's worth either way)."""
+    cpd = comp.limit(_COMP_COLLECT_MAX + 1).toPandas()
+    if len(cpd) <= _COMP_COLLECT_MAX:
+        schema = comp.schema
+        _free_local_checkpoint(comp)
+        return spark.createDataFrame(cpd, schema=schema)
+    engine._ONESHOT_CACHES.append(_CheckpointRelease(comp))  # type: ignore[arg-type]
+    return comp
 
 
 def geo_dbscan(
@@ -162,17 +183,10 @@ def geo_dbscan(
         .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
         .distinct()
     )
-    ccomp = connected_components(cell_edges)  # (cell, component-cell)
-    # free the CC labels checkpoint: collect the (tiny) cell-component map
-    # into a pure local relation so the returned frame never references
-    # checkpoint blocks and repeated calls pin nothing (the repeated-call
-    # storage test in test_analytics.py guards this)
-    cpd = ccomp.limit(_COMP_COLLECT_MAX + 1).toPandas()
-    if len(cpd) <= _COMP_COLLECT_MAX:
-        _free_local_checkpoint(ccomp)
-        ccomp = spark.createDataFrame(cpd, schema="id bigint, component bigint")
-    else:  # bounded fallback: next one-shot op frees it
-        engine._ONESHOT_CACHES.append(_CheckpointRelease(ccomp))  # type: ignore[arg-type]
+    # (tiny by construction: one node per dense cell) — localized so the
+    # returned frame never references checkpoint blocks and repeated
+    # calls pin nothing (the repeated-call storage test guards this)
+    ccomp = _localize_components(spark, connected_components(cell_edges))
     core_comp = core_cells.join(
         ccomp.withColumnRenamed("id", "cell"), "cell", "left"
     ).select(
@@ -206,6 +220,83 @@ def geo_dbscan(
             "image_id",
             F.lit("noise").alias("role"),
             F.lit(None).cast("string").alias("cluster"),
+        )
+    )
+    return labeled.unionByName(noise_rows)
+
+
+def embedding_dbscan(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DBSCAN in cosine space over an embedding table — density clustering
+    of near-duplicates, where single-linkage (near_dup_components) would
+    chain unrelated items through sparse bridges.  The eps-graph is the
+    verified :func:`datapipe.embedding_near_dup` pair table (6dp-rounded
+    cosine >= ``threshold``); a vector is **core** iff its neighborhood
+    (itself included) holds >= ``min_pts`` vectors; labels follow the same
+    deterministic rules as :func:`geo_dbscan` (cluster = min core id,
+    borders take the min core-neighbor label).
+
+    Returns (``id_col``, role, cluster) for EVERY input row.
+
+    Scale shape: one near-dup detector pass (bucketed, recall-1.0), then
+    single partial-agg shuffles over the pair table plus CC over the
+    core subgraph.  Near-dup neighborhoods are small in deduplicated
+    corpora, so the core graph stays near-linear in the pair table —
+    the same envelope as near_dup_components, with the pair table itself
+    as the inherent lower bound.
+    """
+    from . import datapipe
+
+    engine._release_registry(engine._ONESHOT_CACHES)  # PREVIOUS call's
+    pairs = datapipe.embedding_near_dup(
+        embeddings, threshold=threshold
+    ).select("id_a", "id_b")
+    sym = engine._register_cache(
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).unionAll(
+            pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
+        ),
+        engine._ONESHOT_CACHES,
+    )
+    deg = sym.groupBy("x").agg((F.count(F.lit(1)) + 1).alias("n_eps"))
+    core = engine._register_cache(
+        deg.filter(F.col("n_eps") >= int(min_pts)).select(F.col("x").alias("id")),
+        engine._ONESHOT_CACHES,
+    )
+    # core-core edges + self loops (isolated cores label themselves)
+    ce = (
+        sym.join(core.withColumnRenamed("id", "x"), "x", "left_semi")
+        .join(core.withColumnRenamed("id", "y"), "y", "left_semi")
+        .select(F.col("x").alias("id_a"), F.col("y").alias("id_b"))
+        .unionAll(core.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")))
+    )
+    comp = _localize_components(spark, connected_components(ce))
+    core_rows = comp.select(
+        F.col("id").alias(id_col),
+        F.lit("core").alias("role"),
+        F.col("component").alias("cluster"),
+    )
+    border_rows = (
+        sym.join(core.withColumnRenamed("id", "x"), "x", "left_anti")
+        .join(comp.withColumnRenamed("id", "y"), "y")  # core neighbors only
+        .groupBy("x")
+        .agg(F.min("component").alias("cluster"))
+        .select(
+            F.col("x").alias(id_col), F.lit("border").alias("role"), "cluster"
+        )
+    )
+    labeled = core_rows.unionByName(border_rows)
+    noise_rows = (
+        embeddings.select(id_col)
+        .join(labeled.select(id_col), id_col, "left_anti")
+        .select(
+            id_col,
+            F.lit("noise").alias("role"),
+            F.lit(None).cast(dict(embeddings.dtypes)[id_col]).alias("cluster"),
         )
     )
     return labeled.unionByName(noise_rows)

@@ -188,6 +188,70 @@ def test_zonal_stats_matches_membership_aggregation(spark, sf0001_fixtures):
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
 
 
+@pytest.mark.parametrize("threshold,min_pts", [(0.3, 3), (0.35, 2)])
+def test_embedding_dbscan_matches_brute_force(spark, threshold, min_pts):
+    """Cosine-space DBSCAN vs a brute-force union-find over the exact
+    6dp-rounded similarity matrix (same rounding as the detector)."""
+    from sparkkd import datapipe
+
+    emb_pd = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    ids = emb_pd.vec_id.to_numpy()
+    M = np.array(emb_pd.embedding.tolist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = datapipe._round6_away(Mn @ Mn.T)
+    n = len(ids)
+    adj = (S >= threshold) & ~np.eye(n, dtype=bool)
+    n_eps = adj.sum(axis=1) + 1  # self included
+    is_core = n_eps >= min_pts
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.nonzero(is_core)[0]
+    for a in ci:
+        for b in np.nonzero(adj[a] & is_core)[0]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_label = {}
+    for a in ci:
+        r = find(a)
+        if r not in comp_label or ids[a] < comp_label[r]:
+            comp_label[r] = ids[a]
+    rows = []
+    for a in range(n):
+        if is_core[a]:
+            rows.append((ids[a], "core", comp_label[find(a)]))
+        else:
+            nbc = np.nonzero(adj[a] & is_core)[0]
+            if len(nbc) > 0:
+                rows.append(
+                    (ids[a], "border", min(comp_label[find(b)] for b in nbc))
+                )
+            else:
+                rows.append((ids[a], "noise", None))
+    expect = (
+        pd.DataFrame(rows, columns=["vec_id", "role", "cluster"])
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = (
+        analytics.embedding_dbscan(
+            spark, emb, threshold=threshold, min_pts=min_pts
+        )
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"cluster": "float64"}),
+        expect.astype({"cluster": "float64"}),
+        check_dtype=False,
+    )
+
+
 def test_zonal_stats_distributed_mode_identical(spark, sf0001_fixtures):
     """Broadcast and distributed PIP paths must aggregate to the same
     zonal rows (they share membership semantics by the pip oracle rows)."""
