@@ -737,10 +737,51 @@ def fuzz_snapshot(spark, rng, trial):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _brute_dbscan_labels(ids, adj, min_pts):
+    """Union-find DBSCAN with the engine's deterministic label rules
+    (cluster = min core id; border takes min core-neighbor label).
+    ``adj`` is the symmetric self-exclusive neighbor matrix; a point is
+    core iff its neighborhood INCLUDING itself holds >= min_pts points.
+    Returns (roles, labels) object arrays aligned to ``ids``."""
+    n = len(ids)
+    self_inc = adj.copy()
+    np.fill_diagonal(self_inc, True)
+    is_core = self_inc.sum(axis=1) >= min_pts
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.nonzero(is_core)[0]
+    for a in ci:
+        for b in np.nonzero(self_inc[a] & is_core)[0]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_label = {}
+    for a in ci:
+        r = find(a)
+        if r not in comp_label or ids[a] < comp_label[r]:
+            comp_label[r] = ids[a]
+    roles = np.full(n, "noise", dtype=object)
+    labels = np.full(n, None, dtype=object)
+    roles[is_core] = "core"
+    for a in ci:
+        labels[a] = comp_label[find(a)]
+    for a in np.nonzero(~is_core)[0]:
+        nbc = np.nonzero(adj[a] & is_core)[0]
+        if len(nbc) > 0:
+            roles[a] = "border"
+            labels[a] = min(comp_label[find(b)] for b in nbc)
+    return roles, labels
+
+
 def fuzz_dbscan(spark, rng, trial):
-    """geo_dbscan (radius self-join + degree + CC + border assignment) vs
-    a brute-force union-find DBSCAN with the same deterministic label
-    rules (cluster = min core id; border takes min core-neighbor label)."""
+    """geo_dbscan (radius self-join + degree + grid-contracted CC + border
+    assignment) vs brute-force union-find DBSCAN (shared label rules)."""
     from sparkkd import analytics
 
     n = int(rng.integers(2, 800))
@@ -756,44 +797,13 @@ def fuzz_dbscan(spark, rng, trial):
                              max_cell_rows=mcr)
         .toPandas().sort_values("image_id").reset_index(drop=True)
     )
-    # brute force with identical rules
-    adj = (
-        np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)) <= eps
-    )  # includes self
-    is_core = adj.sum(axis=1) >= min_pts
-    parent = np.arange(n)
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    ci = np.nonzero(is_core)[0]
-    for a in ci:
-        for b in np.nonzero(adj[a] & is_core)[0]:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    comp_label: dict[int, str] = {}
-    for a in ci:
-        r = find(a)
-        if r not in comp_label or ids[a] < comp_label[r]:
-            comp_label[r] = ids[a]
-    roles = np.full(n, "noise", dtype=object)
-    labels = np.full(n, None, dtype=object)
-    roles[is_core] = "core"
-    for a in ci:
-        labels[a] = comp_label[find(a)]
-    for a in np.nonzero(~is_core)[0]:
-        nbc = np.nonzero(adj[a] & is_core)[0]
-        if len(nbc) > 0:
-            roles[a] = "border"
-            labels[a] = min(comp_label[find(b)] for b in nbc)
+    adj = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)) <= eps
+    np.fill_diagonal(adj, False)
+    roles, labels = _brute_dbscan_labels(ids, adj, min_pts)
     cfg = dict(op="dbscan", n=n, flavor=flavor, eps=round(eps, 3),
                min_pts=min_pts, mcr=mcr,
-               n_core=int(is_core.sum()),
-               n_clusters=len(set(comp_label.values())))
+               n_core=int((roles == "core").sum()),
+               n_clusters=len({l for l in labels if l is not None}))
     assert len(got) == n, (cfg, len(got))
     assert (got.image_id.to_numpy() == ids).all(), cfg
     assert (got.role.to_numpy() == roles).all(), (
@@ -801,6 +811,62 @@ def fuzz_dbscan(spark, rng, trial):
     gl = got.cluster.to_numpy(dtype=object)
     gl = np.where(pd.isna(gl), None, gl)
     assert (gl == labels).all(), (cfg, np.nonzero(gl != labels)[0][:5])
+    return cfg
+
+
+def fuzz_embdbscan(spark, rng, trial):
+    """embedding_dbscan (cosine-space DBSCAN over the near-dup pair
+    table) vs brute-force union-find with the shared label rules.  The
+    threshold is nudged to a gap midpoint >= 2e-4 from every realized
+    similarity so detector-vs-oracle ulp noise around the 6dp rounding
+    rule can never flip a membership (the same band reasoning as
+    fuzz_embed, made airtight by construction)."""
+    from sparkkd import analytics, datapipe
+
+    n = int(rng.integers(5, 500))
+    d = int(rng.choice([8, 16, 64]))
+    n_cl = max(1, int(rng.integers(1, max(2, n // 15))))
+    cents = rng.normal(size=(n_cl, d))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    X = cents[rng.integers(0, n_cl, n)] + float(
+        rng.choice([0.05, 0.3])
+    ) * rng.normal(size=(n, d))
+    ids = rng.permutation(np.arange(n, dtype=np.int64) * 7 + 3)  # scrambled
+    pdf = pd.DataFrame(
+        {"vec_id": ids,
+         "embedding": [row.astype(np.float32).tolist() for row in X]}
+    )
+    Xf = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    N = np.linalg.norm(Xf, axis=1)
+    S = datapipe._round6_away((Xf @ Xf.T) / np.outer(N, N))
+    iu = np.triu_indices(n, 1)
+    su = np.unique(S[iu])
+    thr0 = float(rng.uniform(0.2, 0.95))
+    pos = int(np.searchsorted(su, thr0))
+    lo = su[pos - 1] if pos > 0 else thr0 - 1.0
+    hi = su[pos] if pos < len(su) else thr0 + 1.0
+    thr = thr0 if min(thr0 - lo, hi - thr0) >= 2e-4 else (lo + hi) / 2.0
+    if min(thr - lo, hi - thr) < 1e-6:  # freak dense gap: shift clear
+        thr = hi + 1e-3
+    min_pts = int(rng.integers(2, 7))
+    adj = (S >= thr) & ~np.eye(n, dtype=bool)
+    roles, labels = _brute_dbscan_labels(ids, adj, min_pts)
+    emb = spark.createDataFrame(pdf)
+    got = (
+        analytics.embedding_dbscan(spark, emb, threshold=float(thr),
+                                   min_pts=min_pts)
+        .toPandas()
+        .set_index("vec_id").loc[ids].reset_index()
+    )
+    cfg = dict(op="embdbscan", n=n, d=d, n_cl=n_cl, thr=round(float(thr), 4),
+               min_pts=min_pts, n_core=int((roles == "core").sum()),
+               n_clusters=len({l for l in labels if l is not None}))
+    assert len(got) == n, (cfg, len(got))
+    assert (got.role.to_numpy() == roles).all(), (
+        cfg, np.nonzero(got.role.to_numpy() != roles)[0][:5])
+    gl = got.cluster.to_numpy(dtype="float64")
+    el = np.array([np.nan if l is None else float(l) for l in labels])
+    np.testing.assert_array_equal(gl, el, err_msg=str(cfg))
     return cfg
 
 
@@ -819,7 +885,7 @@ def main() -> None:
     rng = np.random.default_rng(SEED)
     kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc, fuzz_session,
              fuzz_asof, fuzz_snapshot, fuzz_pip, fuzz_jaccard,
-             fuzz_interval, fuzz_split, fuzz_dbscan]
+             fuzz_interval, fuzz_split, fuzz_dbscan, fuzz_embdbscan]
     for t in range(N_TRIALS):
         cfg = kinds[t % len(kinds)](spark, rng, t)
         print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
