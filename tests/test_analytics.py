@@ -295,6 +295,47 @@ def test_geo_dbscan_repeated_calls_reach_steady_storage(spark, sf0001_fixtures):
     assert n_persisted() <= base, (base, n_persisted())
 
 
+def test_degenerate_inputs(spark):
+    """Empty corpora, single rows, and corpus<k must return sensible
+    frames, never crash (the joins' empty-corpus contract extended to the
+    composite ops)."""
+    empty = spark.createDataFrame([], "image_id string, phash long")
+    one = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["i0"],
+                      "phash": cells.coords_to_phash(
+                          np.array([10.0]), np.array([20.0]))})
+    )
+    three = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"i{j}" for j in range(3)],
+                      "phash": cells.coords_to_phash(
+                          np.array([10.0, 10.1, 50.0]),
+                          np.array([20.0, 20.1, 60.0]))})
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q0"], "qlat": [10.05], "qlon": [20.05]})
+    )
+    assert analytics.geo_dbscan(spark, empty, 0.5, 2).count() == 0
+    assert analytics.geo_dbscan(spark, one, 0.5, 2).collect()[0].role == "noise"
+    rows = {r.image_id: r for r in analytics.geo_dbscan(spark, three, 0.5, 2).collect()}
+    assert rows["i0"].role == "core" and rows["i0"].cluster == "i0"
+    assert rows["i2"].role == "noise"
+    v3 = three.withColumn("val", F.lit(1.0))
+    got = analytics.idw_interpolate(spark, v3, qdf, "val", k=8).collect()
+    assert got[0].n_used == 3 and got[0].idw_value == 1.0
+    eq = spark.createDataFrame([], "query_id string, qlat double, qlon double")
+    assert analytics.idw_interpolate(spark, v3, eq, "val", k=8).count() == 0
+    assert analytics.kring_smooth(one, 7).collect()[0].ring_rows == 1
+    assert analytics.kring_smooth(empty, 7).count() == 0
+    eemb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert analytics.embedding_dbscan(spark, eemb, 0.5, 2).count() == 0
+    oneemb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.array([1], dtype=np.int64),
+                      "embedding": [[1.0, 0.0]]})
+    )
+    got = analytics.embedding_dbscan(spark, oneemb, 0.5, 2).collect()
+    assert got[0].role == "noise" and got[0].cluster is None
+
+
 @pytest.mark.parametrize("level", [5, 7])
 def test_kring_matches_dense_grid(spark, sf0001_fixtures, level):
     root = sf0001_fixtures
