@@ -58,6 +58,7 @@ __all__ = [
     "geo_dbscan",
     "embedding_dbscan",
     "idw_interpolate",
+    "knn_label_stats",
     "kring_smooth",
     "zonal_stats",
 ]
@@ -300,6 +301,68 @@ def embedding_dbscan(
         )
     )
     return labeled.unionByName(noise_rows)
+
+
+def knn_label_stats(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    k: int = 10,
+    block_rows: int = 50_000,
+) -> DataFrame:
+    """k-NN label agreement per vector — the noisy-label detector a
+    training pipeline runs over a labeled embedding table: for each
+    vector, the majority label among its k exact cosine nearest neighbors
+    (self excluded; ties broken toward the smallest label) and the
+    fraction of neighbors sharing its own label.  Rows with
+    ``agree_frac`` near 0 are mislabeling candidates; a majority label
+    differing from ``own_label`` suggests the correction.
+
+    Deterministic end to end: neighbor sets come from
+    :func:`datapipe.ann_cosine_topk` (6dp-rounded sims, id tie-breaks)
+    and every aggregate is integer counting plus one exact division.
+
+    Returns (vec_id, own_label, majority_label, n_agree, n_nbrs,
+    agree_frac) for every vector with at least one neighbor.
+    """
+    from .datapipe import ann_cosine_topk
+
+    from pyspark.sql import Window
+
+    nn = ann_cosine_topk(
+        embeddings.select("vec_id", "embedding"), k=k, block_rows=block_rows
+    ).select("vec_id", "neighbor_id")
+    lab = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    own = embeddings.select("vec_id", F.col(label_col).alias("own_label"))
+    j = nn.join(lab, "neighbor_id")
+    votes = j.groupBy("vec_id", "nbr_label").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("nbr_label").asc()
+    )
+    major = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nbr_label").alias("majority_label"))
+    )
+    agg = (
+        j.join(own, "vec_id")
+        .groupBy("vec_id", "own_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum(
+                F.when(F.col("nbr_label") == F.col("own_label"), 1).otherwise(0)
+            ).alias("n_agree"),
+        )
+    )
+    return agg.join(major, "vec_id").select(
+        "vec_id",
+        "own_label",
+        "majority_label",
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("n_nbrs").cast("long").alias("n_nbrs"),
+        (F.col("n_agree").cast("double") / F.col("n_nbrs")).alias("agree_frac"),
+    )
 
 
 # machine-epsilon guard so a zero-distance neighbor gets a huge-but-finite

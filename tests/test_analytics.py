@@ -295,6 +295,45 @@ def test_geo_dbscan_repeated_calls_reach_steady_storage(spark, sf0001_fixtures):
     assert n_persisted() <= base, (base, n_persisted())
 
 
+def test_knn_label_stats_matches_brute_force(spark):
+    """Majority label and agreement fraction vs a NumPy recomputation
+    with identical ranking (6dp-rounded sims desc, neighbor id asc) and
+    tie rules (majority ties toward the smallest label)."""
+    from sparkkd import datapipe
+
+    k = 10
+    emb_pd = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    ids = emb_pd.vec_id.to_numpy()
+    labels = emb_pd.label.to_numpy()
+    M = np.array(emb_pd.embedding.tolist(), dtype=np.float64)
+    N = np.linalg.norm(M, axis=1)
+    S = datapipe._round6_away((M @ M.T) / np.outer(N, N))
+    rows = []
+    for a in range(len(ids)):
+        cand = [b for b in range(len(ids)) if b != a]
+        cand.sort(key=lambda b: (-S[a, b], ids[b]))
+        nb = cand[:k]
+        nbl = labels[nb]
+        counts = {}
+        for l in nbl:
+            counts[l] = counts.get(l, 0) + 1
+        majority = min(counts, key=lambda l: (-counts[l], l))
+        n_agree = int((nbl == labels[a]).sum())
+        rows.append((ids[a], labels[a], majority, n_agree, len(nb),
+                     float(n_agree) / len(nb)))
+    expect = (
+        pd.DataFrame(rows, columns=["vec_id", "own_label", "majority_label",
+                                    "n_agree", "n_nbrs", "agree_frac"])
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = (
+        analytics.knn_label_stats(emb, k=k)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 def test_degenerate_inputs(spark):
     """Empty corpora, single rows, and corpus<k must return sensible
     frames, never crash (the joins' empty-corpus contract extended to the
