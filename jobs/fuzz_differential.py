@@ -870,6 +870,70 @@ def fuzz_embdbscan(spark, rng, trial):
     return cfg
 
 
+def fuzz_labelstats(spark, rng, trial):
+    """knn_label_stats (majority label + agreement over exact cosine
+    top-k) vs a NumPy recomputation with identical ranking and tie rules.
+    Escape hatch: a mismatch is excused ONLY if some similarity sits
+    within 1e-9 of a 6dp rounding boundary (the documented detector-vs-
+    oracle ulp class — the gram-matrix oracle and the engine's fold
+    rescore can then legitimately round to adjacent 6dp values)."""
+    from sparkkd import analytics, datapipe
+
+    n = int(rng.integers(5, 250))
+    d = int(rng.choice([8, 16, 64]))
+    n_cl = max(1, int(rng.integers(1, max(2, n // 12))))
+    n_lab = int(rng.integers(2, 6))
+    k = int(rng.integers(1, 13))
+    cents = rng.normal(size=(n_cl, d))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    X = cents[rng.integers(0, n_cl, n)] + float(
+        rng.choice([0.05, 0.3])
+    ) * rng.normal(size=(n, d))
+    ids = rng.permutation(np.arange(n, dtype=np.int64) * 3 + 1)
+    labels = rng.integers(0, n_lab, n).astype(np.int32)
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "label": labels,
+         "embedding": [row.astype(np.float32).tolist() for row in X]}
+    )
+    Xf = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    N = np.linalg.norm(Xf, axis=1)
+    raw = (Xf @ Xf.T) / np.outer(N, N)
+    S = datapipe._round6_away(raw)
+    rows = []
+    for a in range(n):
+        cand = [b for b in range(n) if b != a]
+        cand.sort(key=lambda b: (-S[a, b], ids[b]))
+        nb = cand[:k]
+        nbl = labels[nb]
+        counts = {}
+        for l in nbl:
+            counts[l] = counts.get(l, 0) + 1
+        majority = min(counts, key=lambda l: (-counts[l], l))
+        n_agree = int((nbl == labels[a]).sum())
+        rows.append((ids[a], labels[a], majority, n_agree, len(nb),
+                     float(n_agree) / len(nb)))
+    expect = (
+        pd.DataFrame(rows, columns=["vec_id", "own_label", "majority_label",
+                                    "n_agree", "n_nbrs", "agree_frac"])
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    got = (
+        analytics.knn_label_stats(spark.createDataFrame(pdf), k=k)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    cfg = dict(op="labelstats", n=n, d=d, n_cl=n_cl, n_lab=n_lab, k=k)
+    try:
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    except AssertionError:
+        scaled = raw[np.triu_indices(n, 1)] * 1e6
+        hazard = float(np.abs(scaled - np.floor(scaled) - 0.5).min())
+        if hazard < 1e-3:  # some sim within 1e-9 of a rounding boundary
+            cfg["ulp_skip"] = True
+            return cfg
+        raise
+    return cfg
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -885,7 +949,8 @@ def main() -> None:
     rng = np.random.default_rng(SEED)
     kinds = [fuzz_geo, fuzz_pose, fuzz_embed, fuzz_cc, fuzz_session,
              fuzz_asof, fuzz_snapshot, fuzz_pip, fuzz_jaccard,
-             fuzz_interval, fuzz_split, fuzz_dbscan, fuzz_embdbscan]
+             fuzz_interval, fuzz_split, fuzz_dbscan, fuzz_embdbscan,
+             fuzz_labelstats]
     for t in range(N_TRIALS):
         cfg = kinds[t % len(kinds)](spark, rng, t)
         print(f"[{t}] OK {json.dumps(cfg)}", flush=True)
