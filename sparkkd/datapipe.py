@@ -406,51 +406,51 @@ def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over word unigrams, weighted by
     term frequency.  Entirely JVM built-ins (round-1 looped per row in
     Python): the 64 hash bits come from two md5-derived 32-bit halves
-    (bits 0-31 from hex chars 9-16, bits 32-63 from chars 1-8), votes are a
-    (doc, bit) aggregation of tf-weighted ±1, and the fingerprint packs the
+    (bits 0-31 from hex chars 9-16, bits 32-63 from chars 1-8), votes are
+    64 tf-weighted ±1 integer sums, and the fingerprint packs the
     positive-vote bits back into one signed BIGINT (bit 63 contributes the
     int64 sign term).  Every step is plain SQL arithmetic shared with the
-    DuckDB oracle."""
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-    tf = tf.withColumns(
+    DuckDB oracle.
+
+    Shuffle shape (round-6, VERDICT r5 #2): the votes are ONE
+    ``groupBy(doc_id)`` with 64 map-side-combined integer sums over token
+    INSTANCES — summing ±1 per occurrence equals summing tf-weighted ±1
+    per distinct token, so the result is bit-identical to the old
+    (doc, tok) → 64-way explode → (doc, bit) plan while shuffling ~1 row
+    of 64 longs per doc instead of the measured ~2.4k rows/doc (the old
+    ``groupBy(doc_id, tok)`` hash-scattered a doc's tokens BEFORE the bit
+    explode, so the (doc, bit) partial aggregation barely collapsed)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumns(
         {
             "hi": F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"),
             "lo": F.expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"),
         }
     )
-    bits = tf.select(
-        "doc_id",
-        "cnt",
-        "hi",
-        "lo",
-        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
-    ).withColumn(
-        "bitval",
-        F.expr(
-            "CASE WHEN bit < 32 THEN (lo >> bit) & 1 ELSE (hi >> (bit - 32)) & 1 END"
-        ),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum(F.col("cnt") * (F.col("bitval") * 2 - 1)).alias("v")
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
+    votes = tok.groupBy("doc_id").agg(
+        *[
             F.sum(
                 F.expr(
-                    "CASE WHEN v > 0 THEN"
-                    " CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
-                    " ELSE shiftleft(CAST(1 AS BIGINT), bit) END"
-                    " ELSE CAST(0 AS BIGINT) END"
+                    f"(({'lo' if b < 32 else 'hi'} >> {b if b < 32 else b - 32})"
+                    " & 1) * 2 - 1"
                 )
-            ).alias("simhash")
-        )
-        .select("doc_id", "simhash")
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
     )
+    fp = " + ".join(
+        "(CASE WHEN v{b} > 0 THEN {t} ELSE CAST(0 AS BIGINT) END)".format(
+            b=b,
+            t=(
+                "CAST(-9223372036854775808 AS BIGINT)"
+                if b == 63
+                else f"shiftleft(CAST(1 AS BIGINT), {b})"
+            ),
+        )
+        for b in range(64)
+    )
+    return votes.select("doc_id", F.expr(fp).alias("simhash"))
 
 
 def simhash_near_dup(

@@ -70,11 +70,37 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import kernel
-from .engine import _register_cache, _release_registry, _probe_filter
+from .engine import (
+    _pa_np,
+    _probe_filter,
+    _register_cache,
+    _release_registry,
+    _tie_rank,
+)
+
+
+def _layout_cache(layout) -> dict:
+    """Per-layout runtime cache for driver-side derived objects (salt
+    maps, broadcast variables): a build-once index pays createDataFrame/
+    broadcast once instead of on every join call."""
+    c = getattr(layout, "_runtime_cache", None)
+    if c is None:
+        c = {}
+        object.__setattr__(layout, "_runtime_cache", c)
+    return c
+
+
+def _cached(layout, key, build):
+    c = _layout_cache(layout)
+    if key not in c:
+        c[key] = build()
+    return c[key]
 
 SALT_BITS = 12
 LVL_SHIFT = 48  # leaf key = (level << LVL_SHIFT) | cell  (cell < 2^(d*10))
@@ -100,6 +126,21 @@ CCOLS = ("cw", "cx", "cy", "cz")  # canonicalized quaternion coefficients
 
 # one-shot join intermediates (indexes own per-instance registries)
 _ONESHOT_CACHES: list[DataFrame] = []
+
+_PAIR_ANG_EMPTY = pa.table(
+    {
+        "query_id": pa.array([], pa.string()),
+        "pose_id": pa.array([], pa.string()),
+        "ang": pa.array([], pa.float64()),
+    }
+)
+_PAIR_DIST_EMPTY = pa.table(
+    {
+        "query_id": pa.array([], pa.string()),
+        "pose_id": pa.array([], pa.string()),
+        "dist": pa.array([], pa.float64()),
+    }
+)
 
 
 # ------------------------------------------------------------ SQL helpers
@@ -518,32 +559,42 @@ def _salted(df: DataFrame, spark: SparkSession, layout: PoseLayout,
 
 def _leaf_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
     """(leaf key, part_key) exploded over the leaf's partition's salts —
-    probes join this so a probed partition probes ALL of its salts."""
-    reps = layout.p_salt_n[layout.leaf_pid]
-    key = np.repeat(layout.leaf_keys, reps)
-    pid = np.repeat(layout.leaf_pid, reps)
-    off = np.concatenate([[0], np.cumsum(reps)])[: len(reps)]
-    salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
-    return F.broadcast(
-        spark.createDataFrame(
-            pd.DataFrame({"key": key, "part_key": (pid << SALT_BITS) + salt}),
-            schema="key bigint, part_key bigint",  # empty-corpus safe
+    probes join this so a probed partition probes ALL of its salts.
+    Cached per (layout, session): one createDataFrame per index lifetime."""
+
+    def build():
+        reps = layout.p_salt_n[layout.leaf_pid]
+        key = np.repeat(layout.leaf_keys, reps)
+        pid = np.repeat(layout.leaf_pid, reps)
+        off = np.concatenate([[0], np.cumsum(reps)])[: len(reps)]
+        salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
+        return F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"key": key, "part_key": (pid << SALT_BITS) + salt}),
+                schema="key bigint, part_key bigint",  # empty-corpus safe
+            )
         )
-    )
+
+    return _cached(layout, ("leaf_salts", id(spark)), build)
 
 
 def _pid_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
-    """(pid, part_key) for phase-2 candidate emission."""
-    reps = layout.p_salt_n
-    pid = np.repeat(np.arange(layout.n_partitions, dtype=np.int64), reps)
-    off = np.concatenate([[0], np.cumsum(reps)])[: len(reps)]
-    salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
-    return F.broadcast(
-        spark.createDataFrame(
-            pd.DataFrame({"pid": pid, "part_key": (pid << SALT_BITS) + salt}),
-            schema="pid bigint, part_key bigint",  # empty-corpus safe
+    """(pid, part_key) for phase-2 candidate emission (cached per layout +
+    session, see _leaf_salts)."""
+
+    def build():
+        reps = layout.p_salt_n
+        pid = np.repeat(np.arange(layout.n_partitions, dtype=np.int64), reps)
+        off = np.concatenate([[0], np.cumsum(reps)])[: len(reps)]
+        salt = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
+        return F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"pid": pid, "part_key": (pid << SALT_BITS) + salt}),
+                schema="pid bigint, part_key bigint",  # empty-corpus safe
+            )
         )
-    )
+
+    return _cached(layout, ("pid_salts", id(spark)), build)
 
 
 def _trans_bounds(poses: DataFrame) -> list[tuple[float, float]]:
@@ -1141,10 +1192,14 @@ def _so3_knn_on_index(
     neg_leaf = leaf_key_sql([f"(- {c})" for c in ccols], _B4, layout)
     leaf_salts = _leaf_salts(spark, layout)
     pid_salts = _pid_salts(spark, layout)
-    leaf_pid = F.broadcast(
-        spark.createDataFrame(
-            _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
-        )
+    leaf_pid = _cached(
+        layout,
+        ("leaf_pid", id(spark)),
+        lambda: F.broadcast(
+            spark.createDataFrame(
+                _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
+            )
+        ),
     )
 
     # ---- phase 1: probe each probe-point's HOME partition (all salts) ---
@@ -1157,20 +1212,28 @@ def _so3_knn_on_index(
         "query_id", *ccols, "sgn", "part_key"
     )
 
-    def p1_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        cols = {
-            "query_id": [], "pose_id": [], "ang": [], "eu": [],
-            "cw": [], "cx": [], "cy": [], "cz": [],
+    p1_empty = pa.table(
+        {
+            "query_id": pa.array([], pa.string()),
+            "pose_id": pa.array([], pa.string()),
+            "ang": pa.array([], pa.float64()),
+            "eu": pa.array([], pa.float64()),
+            **{c: pa.array([], pa.float64()) for c in ccols},
         }
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame(cols)
-        P = right[ccols].to_numpy(np.float64)
-        ids = right["pose_id"].to_numpy()
-        tie = np.empty(len(ids), dtype=np.int64)
-        tie[np.argsort(ids)] = np.arange(len(ids))
+    )
+
+    def p1_group(left: pa.Table, right: pa.Table) -> pa.Table:
+        # Arrow-native kernel (guide §4.2): inputs stay Arrow — pose_id /
+        # query_id strings never become Python objects; outputs are
+        # take()/array() calls
+        if left.num_rows == 0 or right.num_rows == 0:
+            return p1_empty
+        P = np.column_stack([_pa_np(right, c) for c in ccols])
+        ids = right.column("pose_id")
+        tie = _tie_rank(ids)
         tree = kernel.build(P)
-        C4 = left[ccols].to_numpy(np.float64)
-        QP = C4 * left["sgn"].to_numpy(np.float64)[:, None]
+        C4 = np.column_stack([_pa_np(left, c) for c in ccols])
+        QP = C4 * _pa_np(left, "sgn")[:, None]
         qi, idx, eu = kernel.knn(tree, QP, k, tie_key=tie, max_radius=chord_pad)
         ang = _angular_np(QP[qi], P[idx])
         if np.isfinite(mr):
@@ -1188,29 +1251,33 @@ def _so3_knn_on_index(
         # true upper bound per pose and eumax a true kth bound.  ang is
         # bit-identical across probes (|dot(±q, p)| is sign-exact in IEEE).
         if len(qi) > 0:
-            qcode = pd.factorize(left["query_id"], sort=False)[0]
-            pairk = qcode[qi].astype(np.int64) * np.int64(len(ids)) + idx
+            qcode = (
+                left.column("query_id")
+                .combine_chunks()
+                .dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+            )
+            pairk = qcode[qi].astype(np.int64) * np.int64(right.num_rows) + idx
             o = np.lexsort((eu, pairk))
             ks = pairk[o]
             firsts = np.ones(len(o), dtype=bool)
             firsts[1:] = ks[1:] != ks[:-1]
             sel = np.sort(o[firsts])
             qi, idx, ang, eu = qi[sel], idx[sel], ang[sel], eu[sel]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": left["query_id"].to_numpy()[qi],
-                "pose_id": ids[idx],
-                "ang": ang,
-                "eu": eu,
-                "cw": C4[qi, 0], "cx": C4[qi, 1],
-                "cy": C4[qi, 2], "cz": C4[qi, 3],
+                "query_id": pc.take(left.column("query_id"), pa.array(qi)),
+                "pose_id": pc.take(ids, pa.array(idx)),
+                "ang": pa.array(ang),
+                "eu": pa.array(eu),
+                **{c: pa.array(C4[qi, j]) for j, c in enumerate(ccols)},
             }
         )
 
     p1 = (
         p1_cand.groupby("part_key")
         .cogroup(corpus.groupby("part_key"))
-        .applyInPandas(
+        .applyInArrow(
             p1_group,
             schema="query_id string, pose_id string, ang double, eu double,"
             " cw double, cx double, cy double, cz double",
@@ -1219,26 +1286,45 @@ def _so3_knn_on_index(
     w = Window.partitionBy("query_id").orderBy("ang", "pose_id")
     wq = Window.partitionBy("query_id")
     p1 = _register_cache(p1, cache_registry)
-    p1_topk = (
+    # cache the windowed top-k too: bound_rows (job A) and untouched/
+    # touched (job B) all consume it — without this, job B re-ran the
+    # p1 window merge once per branch
+    p1_topk = _register_cache(
         p1.withColumn("rank", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(wq))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= k),
+        cache_registry,
     )
 
     # ---- phase 2: bound rows, early exits, partition admission ----------
+    # The kth row's OWN eu is a valid phase-2 bound: eu >= chord(ang) for
+    # every row (min over signs), and any pose with ang < ang_k has
+    # min-chord chord(ang) <= chord(ang_k) <= eu_k, so the sign achieving
+    # the min is admitted.  This is TIGHTER than the old max(eu)-over-
+    # window bound (eu is not monotone in ang when only one probe saw the
+    # pose) and drops one window pass per call (round-6).
     bound_rows = (
-        p1_topk.withColumn("eumax", F.max("eu").over(wq))
-        .filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
+        p1_topk.filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
         .select(
             "query_id", *ccols,
             F.least(
-                F.when(F.col("cnt") >= k, F.col("eumax"))
+                F.when(F.col("cnt") >= k, F.col("eu"))
                 .otherwise(F.lit(float("inf"))),
                 F.lit(chord_pad),
             ).alias("bound"),
         )
     )
-    occ = leaf_salts.select("key").distinct()
+    # occupied leaf keys, driver-built (leaf_keys are unique by
+    # construction — no distinct exchange) and cached per layout
+    occ = _cached(
+        layout,
+        ("occ_keys", id(spark)),
+        lambda: F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"key": layout.leaf_keys}), schema="key bigint"
+            )
+        ),
+    )
     qk = qc.withColumn("kp", F.expr(pos_leaf)).withColumn("kn", F.expr(neg_leaf))
     absent = (
         qk.join(F.broadcast(occ.withColumnRenamed("key", "kp")), "kp", "left_anti")
@@ -1282,13 +1368,17 @@ def _so3_knn_on_index(
         .fillna({"kp_pid": -1, "kn_pid": -1})
     )
 
-    bc = spark.sparkContext.broadcast(
-        (
-            *_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
-            *_f32_outward(layout.p_lo, layout.p_hi), layout.p_start,
-            layout.g_counts,
-            *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start,
-        )
+    bc = _cached(
+        layout,
+        ("so3knn_bc", id(spark)),
+        lambda: spark.sparkContext.broadcast(
+            (
+                *_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
+                *_f32_outward(layout.p_lo, layout.p_hi), layout.p_start,
+                layout.g_counts,
+                *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start,
+            )
+        ),
     )
 
     def gen(batches):
@@ -1298,21 +1388,22 @@ def _so3_knn_on_index(
         la = (lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
         vmin = np.full(4, -1.0)
         vspan = np.full(4, 2.0)
-        for pdf in batches:
-            if len(pdf) == 0 or G == 0:
+        for rb in batches:
+            if rb.num_rows == 0 or G == 0:
                 continue
-            C4 = pdf[ccols].to_numpy(np.float64)
-            given = pdf["bound"].to_numpy(np.float64)
-            kp = pdf["kp"].to_numpy(np.int64)
-            kp_pid = pdf["kp_pid"].to_numpy(np.int64)
-            kn_pid = pdf["kn_pid"].to_numpy(np.int64)
-            qid = pdf["query_id"].to_numpy()
+            tbl = pa.Table.from_batches([rb])
+            qid_arr = tbl.column("query_id").chunk(0)
+            C4 = np.column_stack([_pa_np(tbl, c) for c in ccols])
+            given = _pa_np(tbl, "bound")
+            kp = tbl.column("kp").to_numpy(zero_copy_only=False)
+            kp_pid = tbl.column("kp_pid").to_numpy(zero_copy_only=False)
+            kn_pid = tbl.column("kn_pid").to_numpy(zero_copy_only=False)
             n_leaf = (np.int64(1) << (kp >> LVL_SHIFT)).astype(np.int64)
             # chunk on the GROUP matrix — (chunk, G) stays ~64 MB however
             # large the corpus (G ~ sqrt(P), not P)
             chunk = max(256, 8_000_000 // max(G, 1))
-            for c0 in range(0, len(pdf), chunk):
-                sl = slice(c0, min(c0 + chunk, len(pdf)))
+            for c0 in range(0, rb.num_rows, chunk):
+                sl = slice(c0, min(c0 + chunk, rb.num_rows))
                 P4 = C4[sl]
                 b = given[sl].copy()
                 nb = np.nonzero(~np.isfinite(b))[0]
@@ -1349,16 +1440,20 @@ def _so3_knn_on_index(
                     if len(qi) == 0:
                         continue
                     pr = sgn * P4[rows[qi]]
-                    yield pd.DataFrame(
+                    yield pa.RecordBatch.from_pydict(
                         {
-                            "query_id": qid[sl][rows[qi]],
-                            "pw": pr[:, 0], "px": pr[:, 1],
-                            "py": pr[:, 2], "pz": pr[:, 3],
-                            "pid": pid,
+                            "query_id": pc.take(
+                                qid_arr, pa.array(rows[qi] + c0)
+                            ),
+                            "pw": pa.array(pr[:, 0]),
+                            "px": pa.array(pr[:, 1]),
+                            "py": pa.array(pr[:, 2]),
+                            "pz": pa.array(pr[:, 3]),
+                            "pid": pa.array(pid),
                         }
                     )
 
-    p2_cand = q_b.mapInPandas(
+    p2_cand = q_b.mapInArrow(
         gen,
         schema="query_id string, pw double, px double, py double, pz double,"
         " pid long",
@@ -1378,32 +1473,33 @@ def _so3_knn_on_index(
         spark, p2_cand, corpus, layout, split_target=_KNN_SPLIT_TARGET
     )
 
-    def p2_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "pose_id": [], "ang": []})
-        P = right[ccols].to_numpy(np.float64)
-        ids = right["pose_id"].to_numpy()
-        tie = np.empty(len(ids), dtype=np.int64)
-        tie[np.argsort(ids)] = np.arange(len(ids))
+    def p2_group(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return _PAIR_ANG_EMPTY
+        P = np.column_stack([_pa_np(right, c) for c in ccols])
+        ids = right.column("pose_id")
+        tie = _tie_rank(ids)
         tree = kernel.build(P)
-        QP = left[["pw", "px", "py", "pz"]].to_numpy(np.float64)
+        QP = np.column_stack(
+            [_pa_np(left, c) for c in ("pw", "px", "py", "pz")]
+        )
         qi, idx, _ = kernel.knn(tree, QP, k, tie_key=tie, max_radius=chord_pad)
         ang = _angular_np(QP[qi], P[idx])
         if np.isfinite(mr):
             keep = ang <= mr
             qi, idx, ang = qi[keep], idx[keep], ang[keep]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": left["query_id"].to_numpy()[qi],
-                "pose_id": ids[idx],
-                "ang": ang,
+                "query_id": pc.take(left.column("query_id"), pa.array(qi)),
+                "pose_id": pc.take(ids, pa.array(idx)),
+                "ang": pa.array(ang),
             }
         )
 
     p2 = (
         cand_g.groupby("part_key", "gsalt")
         .cogroup(corp_probe.groupby("part_key", "gsalt"))
-        .applyInPandas(p2_group, schema="query_id string, pose_id string, ang double")
+        .applyInArrow(p2_group, schema="query_id string, pose_id string, ang double")
     )
 
     # re-rank ONLY queries phase 2 touched; a phase-2 probe may re-hit a
@@ -1601,24 +1697,29 @@ def _so3_radius_on_index(
     )
     pid_salts = _pid_salts(spark, layout)
 
-    bc = spark.sparkContext.broadcast(
-        (*_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
-         *_f32_outward(layout.p_lo, layout.p_hi),
-         layout.p_start,
-         *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start)
+    bc = _cached(
+        layout,
+        ("so3rad_bc", id(spark)),
+        lambda: spark.sparkContext.broadcast(
+            (*_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
+             *_f32_outward(layout.p_lo, layout.p_hi),
+             layout.p_start,
+             *_f32_outward(layout.g_lo, layout.g_hi), layout.g_start)
+        ),
     )
 
     def gen(batches):
         lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start = bc.value
         la = (lo, hi, p_lo, p_hi, p_start, g_lo, g_hi, g_start)
-        for pdf in batches:
-            if len(pdf) == 0 or len(p_lo) == 0:
+        for rb in batches:
+            if rb.num_rows == 0 or len(p_lo) == 0:
                 continue
-            C4 = pdf[ccols].to_numpy(np.float64)
-            qid = pdf["query_id"].to_numpy()
+            tbl = pa.Table.from_batches([rb])
+            qid_arr = tbl.column("query_id").chunk(0)
+            C4 = np.column_stack([_pa_np(tbl, c) for c in ccols])
             chunk = max(256, 8_000_000 // max(len(g_lo), 1))
-            for c0 in range(0, len(pdf), chunk):
-                sl = slice(c0, min(c0 + chunk, len(pdf)))
+            for c0 in range(0, rb.num_rows, chunk):
+                sl = slice(c0, min(c0 + chunk, rb.num_rows))
                 P4 = C4[sl]
                 b = np.full(len(P4), chord)
                 for sgn in (1.0, -1.0):
@@ -1632,16 +1733,20 @@ def _so3_radius_on_index(
                     if len(qi) == 0:
                         continue
                     pr = sgn * P4[rows[qi]]
-                    yield pd.DataFrame(
+                    yield pa.RecordBatch.from_pydict(
                         {
-                            "query_id": qid[sl][rows[qi]],
-                            "pw": pr[:, 0], "px": pr[:, 1],
-                            "py": pr[:, 2], "pz": pr[:, 3],
-                            "pid": pid,
+                            "query_id": pc.take(
+                                qid_arr, pa.array(rows[qi] + c0)
+                            ),
+                            "pw": pa.array(pr[:, 0]),
+                            "px": pa.array(pr[:, 1]),
+                            "py": pa.array(pr[:, 2]),
+                            "pz": pa.array(pr[:, 3]),
+                            "pid": pa.array(pid),
                         }
                     )
 
-    cand = qc.mapInPandas(
+    cand = qc.mapInArrow(
         gen,
         schema="query_id string, pw double, px double, py double, pz double,"
         " pid long",
@@ -1652,28 +1757,30 @@ def _so3_radius_on_index(
     cand = _register_cache(cand, cache_registry)
     cand, corp_probe = _split_heavy_groups(spark, cand, corpus, layout)
 
-    def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "pose_id": [], "ang": []})
-        P = right[ccols].to_numpy(np.float64)
-        ids = right["pose_id"].to_numpy()
+    def radius_group(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return _PAIR_ANG_EMPTY
+        P = np.column_stack([_pa_np(right, c) for c in ccols])
+        ids = right.column("pose_id")
         tree = kernel.build(P)
-        QP = left[["pw", "px", "py", "pz"]].to_numpy(np.float64)
+        QP = np.column_stack(
+            [_pa_np(left, c) for c in ("pw", "px", "py", "pz")]
+        )
         qi, idx, _ = kernel.radius(tree, QP, chord)
         ang = _angular_np(QP[qi], P[idx])
         keep = ang <= r  # EXACT libm angle decides; chord pad only added work
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": left["query_id"].to_numpy()[qi][keep],
-                "pose_id": ids[idx][keep],
-                "ang": ang[keep],
+                "query_id": pc.take(left.column("query_id"), pa.array(qi[keep])),
+                "pose_id": pc.take(ids, pa.array(idx[keep])),
+                "ang": pa.array(ang[keep]),
             }
         )
 
     hits = (
         cand.groupby("part_key", "gsalt")
         .cogroup(corp_probe.groupby("part_key", "gsalt"))
-        .applyInPandas(radius_group, schema="query_id string, pose_id string, ang double")
+        .applyInArrow(radius_group, schema="query_id string, pose_id string, ang double")
     )
     # |dot(+-q, p)| is bit-identical, so both probes report the SAME ang
     # for a double-hit pose: a plain distinct dedupes exactly
@@ -1849,33 +1956,39 @@ def _se3_radius_on_index(
     # compound-space admission radius (padded superset; exact libm
     # compound distance decides below)
     r_pad = r * (1.0 + 1e-12) + 1e-15
-    bc = spark.sparkContext.broadcast(
-        (
-            *_f32_leaf_pack(layout),
-            *_f32_outward(layout.p_lo, layout.p_hi),
-            *_f32_pair(layout.p_slo, layout.p_shi),
-            layout.p_start,
-            *_f32_outward(layout.g_lo, layout.g_hi),
-            *_f32_pair(layout.g_slo, layout.g_shi),
-            layout.g_start,
-        )
+    bc = _cached(
+        layout,
+        ("se3rad_bc", id(spark)),
+        lambda: spark.sparkContext.broadcast(
+            (
+                *_f32_leaf_pack(layout),
+                *_f32_outward(layout.p_lo, layout.p_hi),
+                *_f32_pair(layout.p_slo, layout.p_shi),
+                layout.p_start,
+                *_f32_outward(layout.g_lo, layout.g_hi),
+                *_f32_pair(layout.g_slo, layout.g_shi),
+                layout.g_start,
+            )
+        ),
     )
 
     def gen(batches):
         la = bc.value
         p_lo = la[4]
         g_lo = la[9]
-        for pdf in batches:
-            if len(pdf) == 0 or len(p_lo) == 0:
+        for rb in batches:
+            if rb.num_rows == 0 or len(p_lo) == 0:
                 continue
-            T = pdf[list(TCOLS)].to_numpy(np.float64)
-            QR = pdf[list(QCOLS)].to_numpy(np.float64)
-            QR = QR * canon_sign_np(QR)[:, None]
+            tbl = pa.Table.from_batches([rb])
+            qid_arr = tbl.column("query_id").chunk(0)
+            Qraw = np.column_stack([_pa_np(tbl, c) for c in QCOLS])
+            T = np.column_stack([_pa_np(tbl, c) for c in TCOLS])
+            QR = Qraw * canon_sign_np(Qraw)[:, None]
             # chunk on the GROUP matrix (partition + leaf stages are
             # pair-expanded — never dense)
             chunk = max(256, 8_000_000 // max(len(g_lo), 1))
-            for c0 in range(0, len(pdf), chunk):
-                sl = slice(c0, min(c0 + chunk, len(pdf)))
+            for c0 in range(0, rb.num_rows, chunk):
+                sl = slice(c0, min(c0 + chunk, rb.num_rows))
                 P3 = T[sl]
                 b = np.full(len(P3), r_pad)
                 # rotation-aware admission: tw*d_trans_lb + rw*d_rot_lb <= r
@@ -1886,13 +1999,17 @@ def _se3_radius_on_index(
                 )
                 if len(qi) == 0:
                     continue
-                out = pdf.iloc[np.asarray(qi) + c0][
-                    ["query_id", *QCOLS, *TCOLS]
-                ].copy()
-                out["pid"] = pid
-                yield out
+                g = np.asarray(qi) + c0
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "query_id": pc.take(qid_arr, pa.array(g)),
+                        **{c: pa.array(Qraw[g, j]) for j, c in enumerate(QCOLS)},
+                        **{c: pa.array(T[g, j]) for j, c in enumerate(TCOLS)},
+                        "pid": pa.array(pid),
+                    }
+                )
 
-    cand = q.mapInPandas(
+    cand = q.mapInArrow(
         gen,
         schema="query_id string, "
         + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
@@ -1913,14 +2030,14 @@ def _se3_radius_on_index(
     # embedded scan is the compound twin of the SO(3) antipodal reduction.
     r_scan = r * (1.0 + 1e-12) + 1e-15
 
-    def radius_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "pose_id": [], "dist": []})
-        QR = left[list(QCOLS)].to_numpy(np.float64)
-        QT = left[list(TCOLS)].to_numpy(np.float64)
-        PR = right[list(QCOLS)].to_numpy(np.float64)
-        PT = right[list(TCOLS)].to_numpy(np.float64)
-        ids = right["pose_id"].to_numpy()
+    def radius_group(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return _PAIR_DIST_EMPTY
+        QR = np.column_stack([_pa_np(left, c) for c in QCOLS])
+        QT = np.column_stack([_pa_np(left, c) for c in TCOLS])
+        PR = np.column_stack([_pa_np(right, c) for c in QCOLS])
+        PT = np.column_stack([_pa_np(right, c) for c in TCOLS])
+        ids = right.column("pose_id")
         nq = len(QT)
         PRc = PR * canon_sign_np(PR)[:, None]
         QRc = QR * canon_sign_np(QR)[:, None]
@@ -1961,18 +2078,18 @@ def _se3_radius_on_index(
         qi, idx, et, ldot = qi[alive], idx[alive], et[alive], ldot[alive]
         dist = rw * acos_exact(ldot) + tw * et
         keep = dist <= r
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": left["query_id"].to_numpy()[qi][keep],
-                "pose_id": ids[idx][keep],
-                "dist": dist[keep],
+                "query_id": pc.take(left.column("query_id"), pa.array(qi[keep])),
+                "pose_id": pc.take(ids, pa.array(idx[keep])),
+                "dist": pa.array(dist[keep]),
             }
         )
 
     hits = (
         cand.groupby("part_key", "gsalt")
         .cogroup(corp_probe.groupby("part_key", "gsalt"))
-        .applyInPandas(
+        .applyInArrow(
             radius_group, schema="query_id string, pose_id string, dist double"
         )
     )
@@ -2030,35 +2147,40 @@ def _make_se3_group(k: int, rw: float, tw: float, carry: bool):
     downstream window (ordered by the EXACT dist) decides oracle-exactly.
     carry=True passes the query pose through (phase 1 feeds bound rows)."""
 
-    def se3_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        cols = {"query_id": [], "pose_id": [], "dist": []}
-        if carry:
-            cols.update({c: [] for c in (*QCOLS, *TCOLS)})
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame(cols)
-        QR = left[list(QCOLS)].to_numpy(np.float64)
-        QT = left[list(TCOLS)].to_numpy(np.float64)
-        PR = right[list(QCOLS)].to_numpy(np.float64)
-        PT = right[list(TCOLS)].to_numpy(np.float64)
-        ids = right["pose_id"].to_numpy()
-        tie = np.empty(len(ids), dtype=np.int64)
-        tie[np.argsort(ids)] = np.arange(len(ids))
+    empty = {
+        "query_id": pa.array([], pa.string()),
+        "pose_id": pa.array([], pa.string()),
+        "dist": pa.array([], pa.float64()),
+    }
+    if carry:
+        empty.update({c: pa.array([], pa.float64()) for c in (*QCOLS, *TCOLS)})
+    empty_tbl = pa.table(empty)
+
+    def se3_group(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty_tbl
+        QR = np.column_stack([_pa_np(left, c) for c in QCOLS])
+        QT = np.column_stack([_pa_np(left, c) for c in TCOLS])
+        PR = np.column_stack([_pa_np(right, c) for c in QCOLS])
+        PT = np.column_stack([_pa_np(right, c) for c in TCOLS])
+        ids = right.column("pose_id")
+        tie = _tie_rank(ids)
         tree = kernel.build(PT)
         qi, idx, ldot, et = kernel.knn_compound(
             tree, QT, QR, PR, k, rw, tw, tie_key=tie
         )
         out = {
-            "query_id": left["query_id"].to_numpy()[qi],
-            "pose_id": ids[idx],
+            "query_id": pc.take(left.column("query_id"), pa.array(qi)),
+            "pose_id": pc.take(ids, pa.array(idx)),
             # FINAL values via libm acos — oracle-bit-exact
-            "dist": rw * acos_exact(ldot) + tw * et,
+            "dist": pa.array(rw * acos_exact(ldot) + tw * et),
         }
         if carry:
             for j, c in enumerate(QCOLS):
-                out[c] = QR[qi, j]
+                out[c] = pa.array(QR[qi, j])
             for j, c in enumerate(TCOLS):
-                out[c] = QT[qi, j]
-        return pd.DataFrame(out)
+                out[c] = pa.array(QT[qi, j])
+        return pa.table(out)
 
     return se3_group
 
@@ -2083,10 +2205,14 @@ def _se3_knn_on_index(
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     leaf_salts = _leaf_salts(spark, layout)
     pid_salts = _pid_salts(spark, layout)
-    leaf_pid = F.broadcast(
-        spark.createDataFrame(
-            _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
-        )
+    leaf_pid = _cached(
+        layout,
+        ("leaf_pid", id(spark)),
+        lambda: F.broadcast(
+            spark.createDataFrame(
+                _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
+            )
+        ),
     )
 
     q = (
@@ -2107,22 +2233,27 @@ def _se3_knn_on_index(
     p1 = (
         p1_cand.groupby("part_key")
         .cogroup(corpus.groupby("part_key"))
-        .applyInPandas(_make_se3_group(k, rw, tw, carry=True), schema=carry_schema)
+        .applyInArrow(_make_se3_group(k, rw, tw, carry=True), schema=carry_schema)
     )
     w = Window.partitionBy("query_id").orderBy("dist", "pose_id")
     wq = Window.partitionBy("query_id")
     p1 = _register_cache(p1, cache_registry)
-    p1_topk = (
+    # cache the windowed top-k too (see _so3_knn_on_index): bound_rows and
+    # the untouched/touched branches all read it
+    p1_topk = _register_cache(
         p1.withColumn("rank", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(wq))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= k),
+        cache_registry,
     )
+    # the window is ordered by dist, so the rank == least(k, cnt) row's
+    # OWN dist IS max(dist) over the top-k — the extra max()-window pass
+    # was redundant (round-6)
     bound_rows = (
-        p1_topk.withColumn("dmx", F.max("dist").over(wq))
-        .filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
+        p1_topk.filter(F.col("rank") == F.least(F.lit(k), F.col("cnt")))
         .select(
             "query_id", *QCOLS, *TCOLS,
-            F.when(F.col("cnt") >= k, F.col("dmx"))
+            F.when(F.col("cnt") >= k, F.col("dist"))
             .otherwise(F.lit(float("inf")))
             .alias("bound"),
         )
@@ -2142,17 +2273,21 @@ def _se3_knn_on_index(
     )
 
     # ---- phase 2: partition admission within the compound bound ---------
-    bc = spark.sparkContext.broadcast(
-        (
-            *_f32_leaf_pack(layout),
-            *_f32_outward(layout.p_lo, layout.p_hi),
-            *_f32_pair(layout.p_slo, layout.p_shi),
-            layout.p_start,
-            layout.g_counts,
-            *_f32_outward(layout.g_lo, layout.g_hi),
-            *_f32_pair(layout.g_slo, layout.g_shi),
-            layout.g_start,
-        )
+    bc = _cached(
+        layout,
+        ("se3knn_bc", id(spark)),
+        lambda: spark.sparkContext.broadcast(
+            (
+                *_f32_leaf_pack(layout),
+                *_f32_outward(layout.p_lo, layout.p_hi),
+                *_f32_pair(layout.p_slo, layout.p_shi),
+                layout.p_start,
+                layout.g_counts,
+                *_f32_outward(layout.g_lo, layout.g_hi),
+                *_f32_pair(layout.g_slo, layout.g_shi),
+                layout.g_start,
+            )
+        ),
     )
     vmin_a = np.array([lo for lo, _ in b3])
     vspan_a = np.array([span for _, span in b3])
@@ -2164,19 +2299,21 @@ def _se3_knn_on_index(
         G = len(g_counts)
         la = (lo, hi, slo, shi, p_lo, p_hi, p_slo, p_shi, p_start,
               g_lo, g_hi, g_slo, g_shi, g_start)
-        for pdf in batches:
-            if len(pdf) == 0 or G == 0:
+        for rb in batches:
+            if rb.num_rows == 0 or G == 0:
                 continue
-            T = pdf[list(TCOLS)].to_numpy(np.float64)
-            QR = pdf[list(QCOLS)].to_numpy(np.float64)
-            QR = QR * canon_sign_np(QR)[:, None]
-            given = pdf["bound"].to_numpy(np.float64)
-            home = pdf["home_pid"].to_numpy(np.int64)
-            hk = pdf["hk"].to_numpy(np.int64)
+            tbl = pa.Table.from_batches([rb])
+            qid_arr = tbl.column("query_id").chunk(0)
+            Qraw = np.column_stack([_pa_np(tbl, c) for c in QCOLS])
+            T = np.column_stack([_pa_np(tbl, c) for c in TCOLS])
+            QR = Qraw * canon_sign_np(Qraw)[:, None]
+            given = _pa_np(tbl, "bound")
+            home = tbl.column("home_pid").to_numpy(zero_copy_only=False)
+            hk = tbl.column("hk").to_numpy(zero_copy_only=False)
             n_leaf = (np.int64(1) << (hk >> LVL_SHIFT)).astype(np.int64)
             chunk = max(256, 8_000_000 // max(G, 1))
-            for c0 in range(0, len(pdf), chunk):
-                sl = slice(c0, min(c0 + chunk, len(pdf)))
+            for c0 in range(0, rb.num_rows, chunk):
+                sl = slice(c0, min(c0 + chunk, rb.num_rows))
                 P3 = T[sl]
                 b = given[sl].copy()
                 nb = np.nonzero(~np.isfinite(b))[0]
@@ -2214,13 +2351,17 @@ def _se3_knn_on_index(
                 )
                 if len(qi) == 0:
                     continue
-                out = pdf.iloc[np.asarray(rows[qi]) + c0][
-                    ["query_id", *QCOLS, *TCOLS]
-                ].copy()
-                out["pid"] = pid
-                yield out
+                g = np.asarray(rows[qi]) + c0
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "query_id": pc.take(qid_arr, pa.array(g)),
+                        **{c: pa.array(Qraw[g, j]) for j, c in enumerate(QCOLS)},
+                        **{c: pa.array(T[g, j]) for j, c in enumerate(TCOLS)},
+                        "pid": pa.array(pid),
+                    }
+                )
 
-    p2_cand = q_b.mapInPandas(
+    p2_cand = q_b.mapInArrow(
         gen,
         schema="query_id string, "
         + ", ".join(f"{c} double" for c in (*QCOLS, *TCOLS))
@@ -2238,7 +2379,7 @@ def _se3_knn_on_index(
     p2 = (
         cand_g.groupby("part_key", "gsalt")
         .cogroup(corp_probe.groupby("part_key", "gsalt"))
-        .applyInPandas(
+        .applyInArrow(
             _make_se3_group(k, rw, tw, carry=False),
             schema="query_id string, pose_id string, dist double",
         )

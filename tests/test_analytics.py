@@ -399,3 +399,78 @@ def test_kring_matches_dense_grid(spark, sf0001_fixtures, level):
         c = iy * n + ix
         assert got.loc[c, "n_rows"] == grid[iy, ix]
         assert got.loc[c, "ring_rows"] == ring[iy, ix]
+
+
+def test_embedding_dbscan_exact_dup_contraction(spark):
+    """Round-6 contraction regression: exact-duplicate groups (identical
+    embedding bytes) must label EXACTLY like the uncontracted core graph
+    — the m-copy clique contracts to one super-node before CC, and every
+    member still gets the component's min vec_id as its cluster.  Two
+    duplicate cliques joined by one bridge vector must merge into one
+    cluster; a far-away pair below min_pts stays noise."""
+    rows = []
+    # clique A: 4 copies of the same vector (ids 10..13)
+    for i in range(4):
+        rows.append((10 + i, [1.0, 0.0, 0.0]))
+    # clique B: 4 copies of a nearby vector (cos ~ 0.995 to A) ids 20..23
+    import math
+
+    v = [math.cos(0.1), math.sin(0.1), 0.0]
+    for i in range(4):
+        rows.append((20 + i, v))
+    # far pair, mutually similar but only 2 of them (below min_pts=3)
+    rows.append((30, [0.0, 0.0, 1.0]))
+    rows.append((31, [0.0, 1e-4, 1.0]))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+                "embedding": [r[1] for r in rows],
+            }
+        )
+    )
+    got = (
+        analytics.embedding_dbscan(spark, emb, threshold=0.9, min_pts=3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    by_id = got.set_index("vec_id")
+    # all 8 clique members are core with cluster = global min id 10
+    for i in [10, 11, 12, 13, 20, 21, 22, 23]:
+        assert by_id.loc[i, "role"] == "core", i
+        assert by_id.loc[i, "cluster"] == 10, i
+    # the far pair has |ball| = 2 < 3: noise
+    for i in [30, 31]:
+        assert by_id.loc[i, "role"] == "noise", i
+        assert pd.isna(by_id.loc[i, "cluster"]), i
+
+
+def test_embedding_dbscan_validations(spark):
+    """ADVICE r5 fixes: min_pts < 2 and an ambiguous id_col raise."""
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.array([1], dtype=np.int64), "embedding": [[1.0, 0.0]]}
+        )
+    )
+    with pytest.raises(ValueError, match="min_pts"):
+        analytics.embedding_dbscan(spark, emb, threshold=0.5, min_pts=1)
+    both = emb.withColumn("other_id", F.col("vec_id"))
+    with pytest.raises(ValueError, match="ambiguous"):
+        analytics.embedding_dbscan(
+            spark, both, threshold=0.5, min_pts=2, id_col="other_id"
+        )
+    # a renamed id column flows through end to end
+    ren = emb.withColumnRenamed("vec_id", "item_id")
+    got = analytics.embedding_dbscan(
+        spark, ren, threshold=0.5, min_pts=2, id_col="item_id"
+    ).collect()
+    assert got[0].item_id == 1 and got[0].role == "noise"
+
+
+def test_geo_dbscan_eps_validation(spark, sf0001_fixtures):
+    """ADVICE r5: sub-floor eps raises ValueError (not a stripped assert)."""
+    root = sf0001_fixtures
+    images = spark.read.parquet(str(root / "images.parquet"))
+    with pytest.raises(ValueError, match="eps"):
+        analytics.geo_dbscan(spark, images, eps=1e-7, min_pts=3)

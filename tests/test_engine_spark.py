@@ -237,7 +237,7 @@ def test_geoindex_no_corpus_exchange(spark, tables):
         probe = (
             cand.groupby("part_key")
             .cogroup(idx.img_salted.groupby("part_key"))
-            .applyInPandas(
+            .applyInArrow(
                 engine._make_knn_group(1),
                 schema="query_id string, image_id string, dist double",
             )
@@ -259,3 +259,39 @@ def test_geoindex_no_corpus_exchange(spark, tables):
         assert "InMemoryTableScan" in plan
     finally:
         idx.unpersist()
+
+
+def test_radius_join_forced_heavy_split_identical(spark, tables, monkeypatch):
+    """Round-6 heavy-cogroup split regression: forcing every radius
+    cogroup to split query-side (tiny split target) must return exactly
+    the same pair set as the effectively-unsplit default — each (query,
+    cell-salt) pair is evaluated exactly once under any gsalt fan-out,
+    and carry_xy coordinates survive the split unchanged."""
+    r = 3.0
+    base = (
+        engine.radius_join(spark, tables["images"], tables["queries"], r=r)
+        .toPandas()
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    orig = engine._split_heavy_cogroups
+
+    def forced(spark_, cand, corpus, stats, split_target=4_000_000):
+        return orig(spark_, cand, corpus, stats, split_target=128)
+
+    monkeypatch.setattr(engine, "_split_heavy_cogroups", forced)
+    got = (
+        engine.radius_join(
+            spark, tables["images"], tables["queries"], r=r, carry_xy=True
+        )
+        .toPandas()
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(base)
+    assert (got["query_id"].to_numpy() == base["query_id"].to_numpy()).all()
+    assert (got["image_id"].to_numpy() == base["image_id"].to_numpy()).all()
+    assert (got["dist"].to_numpy() == base["dist"].to_numpy()).all()
+    # carried coordinates reproduce the pair distance exactly as computed
+    d = np.sqrt((got.qx - got.ix) ** 2 + (got.qy - got.iy) ** 2)
+    assert np.allclose(d.to_numpy(), got["dist"].to_numpy(), rtol=0, atol=0)
