@@ -1178,10 +1178,10 @@ def _split_heavy_cogroups(
             splits[k_] = s_
     base_probe = _probe_filter(spark, corpus, keys)
     if not splits:
-        return (
-            cand.withColumn("gsalt", F.lit(0).cast("int")),
-            base_probe.withColumn("gsalt", F.lit(0).cast("int")),
-        )
+        # no gsalt column at all: grouping stays on part_key, so the
+        # cached corpus partitioning satisfies the cogroup distribution
+        # and the probed corpus is NOT re-shuffled
+        return cand, base_probe
     # explicit schemas: a bigint gsalt on ONE cogroup side hash-partitions
     # differently from an int gsalt on the other and groups silently
     # mispair (the so3 engine's dtype-parity lesson)
@@ -1357,9 +1357,12 @@ def _radius_join_on_index(
             out["iy"] = pa.array(pts[idx, 1])
         return pa.table(out)
 
+    gcols = (
+        ["part_key", "gsalt"] if "gsalt" in cand.columns else ["part_key"]
+    )
     return (
-        cand.groupby("part_key", "gsalt")
-        .cogroup(img_probe.groupby("part_key", "gsalt"))
+        cand.groupby(*gcols)
+        .cogroup(img_probe.groupby(*gcols))
         .applyInArrow(radius_group, schema=out_schema)
     )
 

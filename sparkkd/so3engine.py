@@ -1496,9 +1496,10 @@ def _so3_knn_on_index(
             }
         )
 
+    gcols = _group_cols(cand_g)
     p2 = (
-        cand_g.groupby("part_key", "gsalt")
-        .cogroup(corp_probe.groupby("part_key", "gsalt"))
+        cand_g.groupby(*gcols)
+        .cogroup(corp_probe.groupby(*gcols))
         .applyInArrow(p2_group, schema="query_id string, pose_id string, ang double")
     )
 
@@ -1602,10 +1603,13 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
             splits[k_] = s_
     base_probe = _probe_filter(spark, corpus, keys)
     if not splits:
-        return (
-            cand.withColumn("gsalt", F.lit(0).cast("int")),
-            base_probe.withColumn("gsalt", F.lit(0).cast("int")),
-        )
+        # NO gsalt column: grouping stays on part_key alone, so the
+        # cached corpus partitioning satisfies the cogroup's distribution
+        # and the probed corpus rows are NOT re-shuffled (round-6 — a
+        # (part_key, gsalt) key invalidated the cache's hash(part_key)
+        # layout even when every gsalt was the constant 0); callers group
+        # by _group_cols(cand)
+        return cand, base_probe
     # explicit schemas: without Arrow-enabled createDataFrame the pandas
     # fallback infers LongType for int32 columns, and a bigint gsalt on
     # ONE cogroup side hash-partitions differently from the int gsalt on
@@ -1665,6 +1669,13 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
             f"cogroup key dtype mismatch: cand={ct}, probe={pt}"
         )
     return cand, probe
+
+
+def _group_cols(cand: DataFrame) -> list[str]:
+    """Cogroup keys for a (cand, probe) pair from _split_heavy_groups:
+    (part_key, gsalt) when splits exist, part_key alone otherwise (which
+    lets the cached corpus partitioning satisfy the distribution)."""
+    return ["part_key", "gsalt"] if "gsalt" in cand.columns else ["part_key"]
 
 
 def _so3_radius_on_index(
@@ -1777,9 +1788,10 @@ def _so3_radius_on_index(
             }
         )
 
+    gcols = _group_cols(cand)
     hits = (
-        cand.groupby("part_key", "gsalt")
-        .cogroup(corp_probe.groupby("part_key", "gsalt"))
+        cand.groupby(*gcols)
+        .cogroup(corp_probe.groupby(*gcols))
         .applyInArrow(radius_group, schema="query_id string, pose_id string, ang double")
     )
     # |dot(+-q, p)| is bit-identical, so both probes report the SAME ang
@@ -2086,9 +2098,10 @@ def _se3_radius_on_index(
             }
         )
 
+    gcols = _group_cols(cand)
     hits = (
-        cand.groupby("part_key", "gsalt")
-        .cogroup(corp_probe.groupby("part_key", "gsalt"))
+        cand.groupby(*gcols)
+        .cogroup(corp_probe.groupby(*gcols))
         .applyInArrow(
             radius_group, schema="query_id string, pose_id string, dist double"
         )
@@ -2376,9 +2389,10 @@ def _se3_knn_on_index(
     cand_g, corp_probe = _split_heavy_groups(
         spark, p2_cand, corpus, layout, split_target=_KNN_SPLIT_TARGET
     )
+    gcols = _group_cols(cand_g)
     p2 = (
-        cand_g.groupby("part_key", "gsalt")
-        .cogroup(corp_probe.groupby("part_key", "gsalt"))
+        cand_g.groupby(*gcols)
+        .cogroup(corp_probe.groupby(*gcols))
         .applyInArrow(
             _make_se3_group(k, rw, tw, carry=False),
             schema="query_id string, pose_id string, dist double",
