@@ -130,8 +130,11 @@ def geo_dbscan(
     Returns (image_id, role, cluster) for EVERY input row — role in
     {'core','border','noise'}, cluster NULL for noise.
     """
-    # PREVIOUS one-shot call's intermediates (the geo radius path is pure
-    # streaming and does not drain the registry itself)
+    # PREVIOUS one-shot call's intermediates.  (Since round 6 the radius
+    # path ALSO drains the one-shot registry at its own entry and
+    # registers its candidate cache there — this drain runs first, while
+    # the registry holds only prior calls' frames, so nothing of THIS
+    # call is ever released mid-op.)
     engine._release_registry(engine._ONESHOT_CACHES)
     pts = engine.with_coords(images).select("image_id", "x", "y")
     q = pts.select(

@@ -159,6 +159,11 @@ class BucketedGeoIndex:
         )
 
     def radius_join(self, queries: DataFrame, r: float) -> DataFrame:
+        # pass the per-index registry (like knn_join): without it the
+        # radius path would drain/pollute the GLOBAL one-shot registry —
+        # freeing e.g. a still-unconsumed checkpoint-backed DBSCAN result
+        # and leaking this index's cand cache past unpersist()
         return engine._radius_join_on_index(
-            self.spark, self.img_salted, self.stats, self.part_keys, queries, r
+            self.spark, self.img_salted, self.stats, self.part_keys, queries, r,
+            cache_registry=self._caches,
         )

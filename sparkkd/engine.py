@@ -46,10 +46,6 @@ from pyspark.sql import functions as F
 from . import cells, kernel
 
 
-def _pa_col(tbl: pa.Table, name: str) -> pa.ChunkedArray:
-    return tbl.column(name)
-
-
 def _pa_np(tbl: pa.Table, name: str) -> np.ndarray:
     """float64 numpy view/copy of an Arrow table column."""
     return tbl.column(name).to_numpy(zero_copy_only=False)
@@ -662,11 +658,7 @@ def _make_knn_group(
     rank/cnt are final right here and the corpus-sized window exchange is
     skipped for those rows (final=false rows — multi-salt cells — still
     merge through the window)."""
-    empty = {
-        "query_id": pa.array([], pa.string()),
-        "image_id": pa.array([], pa.string()),
-        "dist": pa.array([], pa.float64()),
-    }
+    empty = {c: _EMPTY_PAIRS.column(c) for c in _EMPTY_PAIRS.column_names}
     if carry_xy:
         empty.update(
             {"x": pa.array([], pa.float64()), "y": pa.array([], pa.float64())}
@@ -1142,6 +1134,7 @@ def _split_heavy_cogroups(
     corpus: DataFrame,
     stats: CellStats,
     split_target: int = 4_000_000,
+    min_rows_per_split: int = 64,
 ):
     """ONE collect over the cached candidate side: per-part_key candidate
     counts fill the cache, yield the probed part_keys for the corpus
@@ -1173,7 +1166,9 @@ def _split_heavy_cogroups(
     splits: dict[int, int] = {}
     for k_, cnt, work in works:
         s_ = min(256, max(1, -(-work // tgt)))
-        s_ = min(s_, max(1, cnt // 64))
+        # keep >= min_rows_per_split candidate rows per subtask — finer
+        # buys no balance and multiplies corpus-side tree builds
+        s_ = min(s_, max(1, cnt // min_rows_per_split))
         if s_ > 1:
             splits[k_] = s_
     base_probe = _probe_filter(spark, corpus, keys)
@@ -1182,9 +1177,21 @@ def _split_heavy_cogroups(
         # cached corpus partitioning satisfies the cogroup distribution
         # and the probed corpus is NOT re-shuffled
         return cand, base_probe
-    # explicit schemas: a bigint gsalt on ONE cogroup side hash-partitions
-    # differently from an int gsalt on the other and groups silently
-    # mispair (the so3 engine's dtype-parity lesson)
+    return _apply_group_splits(spark, cand, base_probe, splits)
+
+
+def _apply_group_splits(
+    spark: SparkSession, cand: DataFrame, base_probe: DataFrame, splits: dict
+):
+    """Attach gsalt = pmod(xxhash64(query_id), n_split) to split groups'
+    candidate rows and replicate their probe-side rows via a broadcast
+    explode (shared by the planar radius join and the pose engines —
+    the split DECISION differs per engine, the fan-out mechanics don't).
+
+    Explicit schemas throughout: a bigint gsalt on ONE cogroup side
+    hash-partitions differently from an int gsalt on the other and
+    groups silently mispair (the round-5 dtype-parity lesson) — the
+    final assert fails loudly instead."""
     smap = F.broadcast(
         spark.createDataFrame(
             pd.DataFrame(

@@ -77,6 +77,7 @@ from pyspark.sql import functions as F
 
 from . import kernel
 from .engine import (
+    _apply_group_splits,
     _pa_np,
     _probe_filter,
     _register_cache,
@@ -94,6 +95,16 @@ def _layout_cache(layout) -> dict:
         c = {}
         object.__setattr__(layout, "_runtime_cache", c)
     return c
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-context cache key.  _session_key(spark) is NOT safe here: a new
+    session object can reuse a stopped session's address and the cache
+    would serve broadcasts bound to a dead SparkContext."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return str(id(spark))
 
 
 def _cached(layout, key, build):
@@ -575,7 +586,7 @@ def _leaf_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
             )
         )
 
-    return _cached(layout, ("leaf_salts", id(spark)), build)
+    return _cached(layout, ("leaf_salts", _session_key(spark)), build)
 
 
 def _pid_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
@@ -594,7 +605,7 @@ def _pid_salts(spark: SparkSession, layout: PoseLayout) -> DataFrame:
             )
         )
 
-    return _cached(layout, ("pid_salts", id(spark)), build)
+    return _cached(layout, ("pid_salts", _session_key(spark)), build)
 
 
 def _trans_bounds(poses: DataFrame) -> list[tuple[float, float]]:
@@ -1194,7 +1205,7 @@ def _so3_knn_on_index(
     pid_salts = _pid_salts(spark, layout)
     leaf_pid = _cached(
         layout,
-        ("leaf_pid", id(spark)),
+        ("leaf_pid", _session_key(spark)),
         lambda: F.broadcast(
             spark.createDataFrame(
                 _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
@@ -1318,7 +1329,7 @@ def _so3_knn_on_index(
     # construction — no distinct exchange) and cached per layout
     occ = _cached(
         layout,
-        ("occ_keys", id(spark)),
+        ("occ_keys", _session_key(spark)),
         lambda: F.broadcast(
             spark.createDataFrame(
                 pd.DataFrame({"key": layout.leaf_keys}), schema="key bigint"
@@ -1370,7 +1381,7 @@ def _so3_knn_on_index(
 
     bc = _cached(
         layout,
-        ("so3knn_bc", id(spark)),
+        ("so3knn_bc", _session_key(spark)),
         lambda: spark.sparkContext.broadcast(
             (
                 *_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
@@ -1610,65 +1621,11 @@ def _split_heavy_groups(spark, cand, corpus, layout, split_target=4_000_000):
         # layout even when every gsalt was the constant 0); callers group
         # by _group_cols(cand)
         return cand, base_probe
-    # explicit schemas: without Arrow-enabled createDataFrame the pandas
-    # fallback infers LongType for int32 columns, and a bigint gsalt on
-    # ONE cogroup side hash-partitions differently from the int gsalt on
-    # the other — groups silently mispair and pairs vanish (caught by the
-    # sf0.01 oracle the first time splits triggered at that scale)
-    smap = F.broadcast(
-        spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "part_key": np.array(list(splits), np.int64),
-                    "n_split": np.array(list(splits.values()), np.int32),
-                }
-            ),
-            schema="part_key long, n_split int",
-        )
-    )
-    cand = (
-        cand.join(smap, "part_key", "left")
-        .withColumn(
-            "gsalt",
-            F.coalesce(
-                F.pmod(F.xxhash64("query_id"), F.col("n_split")), F.lit(0)
-            ).cast("int"),
-        )
-        .drop("n_split")
-    )
-    exp = F.broadcast(
-        spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "part_key": np.repeat(
-                        np.array(list(splits), np.int64),
-                        np.array(list(splits.values()), np.int64),
-                    ),
-                    "gsalt": np.concatenate(
-                        [np.arange(v) for v in splits.values()]
-                    ).astype(np.int32),
-                }
-            ),
-            schema="part_key long, gsalt int",
-        )
-    )
-    heavy = base_probe.join(exp, "part_key")
-    light = (
-        base_probe.join(
-            exp.select("part_key").distinct(), "part_key", "left_anti"
-        ).withColumn("gsalt", F.lit(0).cast("int"))
-    )
-    probe = heavy.unionByName(light.select(*heavy.columns))
-    # the cogroup pairs groups by HASH of (part_key, gsalt): a dtype
-    # mismatch between the sides is silent row loss, never an error —
-    # fail loudly here instead
-    ct = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
-    pt = {f.name: f.dataType.simpleString() for f in probe.schema.fields}
-    if (ct["part_key"], ct["gsalt"]) != (pt["part_key"], pt["gsalt"]):
-        raise AssertionError(
-            f"cogroup key dtype mismatch: cand={ct}, probe={pt}"
-        )
-    return cand, probe
+    # shared fan-out mechanics (gsalt attach + broadcast-explode probe
+    # replication + the dtype-parity assert that guards against silent
+    # cogroup mispairing): engine._apply_group_splits — only the split
+    # DECISION above is pose-specific
+    return _apply_group_splits(spark, cand, base_probe, splits)
 
 
 def _group_cols(cand: DataFrame) -> list[str]:
@@ -1710,7 +1667,7 @@ def _so3_radius_on_index(
 
     bc = _cached(
         layout,
-        ("so3rad_bc", id(spark)),
+        ("so3rad_bc", _session_key(spark)),
         lambda: spark.sparkContext.broadcast(
             (*_f32_leaf_outward(layout.leaf_lo, layout.leaf_hi),
              *_f32_outward(layout.p_lo, layout.p_hi),
@@ -1970,7 +1927,7 @@ def _se3_radius_on_index(
     r_pad = r * (1.0 + 1e-12) + 1e-15
     bc = _cached(
         layout,
-        ("se3rad_bc", id(spark)),
+        ("se3rad_bc", _session_key(spark)),
         lambda: spark.sparkContext.broadcast(
             (
                 *_f32_leaf_pack(layout),
@@ -2220,7 +2177,7 @@ def _se3_knn_on_index(
     pid_salts = _pid_salts(spark, layout)
     leaf_pid = _cached(
         layout,
-        ("leaf_pid", id(spark)),
+        ("leaf_pid", _session_key(spark)),
         lambda: F.broadcast(
             spark.createDataFrame(
                 _leaf_pid_df(spark, layout), schema="key bigint, pid bigint"
@@ -2288,7 +2245,7 @@ def _se3_knn_on_index(
     # ---- phase 2: partition admission within the compound bound ---------
     bc = _cached(
         layout,
-        ("se3knn_bc", id(spark)),
+        ("se3knn_bc", _session_key(spark)),
         lambda: spark.sparkContext.broadcast(
             (
                 *_f32_leaf_pack(layout),

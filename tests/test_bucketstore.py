@@ -86,3 +86,26 @@ def test_bucketed_scan_avoids_corpus_exchange(spark, data, tmp_path_factory):
     n_ex_bucketed = len(re.findall(r"Exchange hashpartitioning", plan))
     n_ex_plain = len(re.findall(r"Exchange hashpartitioning", p2))
     assert n_ex_bucketed < n_ex_plain, (n_ex_bucketed, n_ex_plain)
+
+
+def test_bucketed_radius_uses_index_registry(spark, data, tmp_path_factory):
+    """Round-6 regression (review finding): BucketedGeoIndex.radius_join
+    must register its intermediates in the INDEX registry, not drain the
+    global one-shot registry — a still-unconsumed one-shot result (e.g.
+    a checkpoint-backed DBSCAN map) must survive a bucketed radius call."""
+    images, queries = data
+    root = tmp_path_factory.mktemp("bstore-reg")
+    idx = bucketstore.save_geo_index(
+        spark, images, "sparkkd_regtest_radius", root / "idx", n_images_hint=2000
+    )
+    sentinel = spark.range(3).persist()
+    engine._ONESHOT_CACHES.append(sentinel)
+    try:
+        n = idx.radius_join(queries, 2.0).count()
+        assert n > 0
+        # global registry untouched; the call's caches went to idx._caches
+        assert sentinel in engine._ONESHOT_CACHES
+        assert sentinel.storageLevel.useMemory  # still persisted
+        assert len(idx._caches) >= 1
+    finally:
+        engine._release_registry(engine._ONESHOT_CACHES)

@@ -275,9 +275,15 @@ def test_radius_join_forced_heavy_split_identical(spark, tables, monkeypatch):
         .reset_index(drop=True)
     )
     orig = engine._split_heavy_cogroups
+    saw_gsalt = {}
 
-    def forced(spark_, cand, corpus, stats, split_target=4_000_000):
-        return orig(spark_, cand, corpus, stats, split_target=128)
+    def forced(spark_, cand, corpus, stats, split_target=4_000_000, **kw):
+        c, p = orig(
+            spark_, cand, corpus, stats,
+            split_target=128, min_rows_per_split=2,
+        )
+        saw_gsalt["yes"] = "gsalt" in c.columns
+        return c, p
 
     monkeypatch.setattr(engine, "_split_heavy_cogroups", forced)
     got = (
@@ -288,6 +294,9 @@ def test_radius_join_forced_heavy_split_identical(spark, tables, monkeypatch):
         .sort_values(["query_id", "image_id"])
         .reset_index(drop=True)
     )
+    # the forced run must actually have exercised the gsalt fan-out —
+    # otherwise this test silently degrades to the unsplit path
+    assert saw_gsalt.get("yes") is True
     assert len(got) == len(base)
     assert (got["query_id"].to_numpy() == base["query_id"].to_numpy()).all()
     assert (got["image_id"].to_numpy() == base["image_id"].to_numpy()).all()
